@@ -1,0 +1,84 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.json): captions/sec/chip on MSR-VTT-sized inputs with beam=5,
+fully on-device batched beam search. Target ≥ 2,000 captions/sec/chip
+(vs_baseline = value / 2000).
+
+Runs on whatever backend is active (real TPU chip under the driver). Uses
+synthetic MSR-VTT-shaped data — the metric measures the decode engine, not disk IO.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_beam_captions_per_sec(batch_size: int = 128, iters: int = 8,
+                                warmup: int = 2) -> float:
+    from vidcap_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
+    from vidcap_tpu.config import get_preset
+    from vidcap_tpu.inference import Captioner
+    from vidcap_tpu.models.decoding import beam_decode, tile_state
+    from vidcap_tpu.models.model import VidCapModel, create_model, init_params
+
+    cfg = get_preset("msrvtt_attn_beam5")
+    vocab_size = 16_000
+    model = create_model(cfg, vocab_size=vocab_size)
+    params = init_params(model, cfg, jax.random.key(0))
+
+    B, T, D = batch_size, cfg.data.num_frames, cfg.data.feature_dim
+    K = cfg.decode.beam_width
+    max_len = cfg.decode.max_len
+    pv = ((vocab_size + 127) // 128) * 128
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+
+    def step_fn_factory(p):
+        def step(state, tok):
+            return model.apply({"params": p}, state, tok,
+                               method=VidCapModel.step)
+        return step
+
+    @jax.jit
+    def decode(p, f):
+        state = model.apply({"params": p}, f, method=VidCapModel.init_state)
+        state = tile_state(state, K, B)
+        toks, _ = beam_decode(step_fn_factory(p), state, batch=B,
+                              max_len=max_len, beam_width=K, vocab_size=pv)
+        return toks
+
+    # distinct inputs per iteration + host fetch of every result: defeats any
+    # transparent result caching in remote-execution backends and measures the
+    # full device round-trip a serving system would pay
+    batches = [jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+               for _ in range(iters)]
+    for _ in range(warmup):
+        np.asarray(decode(params, feats))
+    t0 = time.perf_counter()
+    for f in batches:
+        toks = decode(params, f)
+    np.asarray(toks)
+    dt = time.perf_counter() - t0
+    return B * iters / dt
+
+
+def main() -> int:
+    cps = bench_beam_captions_per_sec()
+    target = 2000.0
+    print(json.dumps({
+        "metric": "captions_per_sec_per_chip_beam5",
+        "value": round(cps, 2),
+        "unit": "captions/s",
+        "vs_baseline": round(cps / target, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,89 @@
+"""Decoder model unit tests (SURVEY.md §4.2): scan-vs-step parity, shapes, learning."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vidcap_tpu.models.model import VidCapModel, create_model, init_params
+from vidcap_tpu.objectives import masked_xe_loss, shift_right
+
+
+@pytest.fixture(scope="module")
+def model_and_params(tiny_cfg):
+    model = create_model(tiny_cfg, vocab_size=100)
+    params = init_params(model, tiny_cfg, jax.random.key(0))
+    return model, params
+
+
+def test_xe_logits_shape(tiny_cfg, model_and_params):
+    model, params = model_and_params
+    B, T, D = 4, tiny_cfg.data.num_frames, tiny_cfg.data.feature_dim
+    L = tiny_cfg.data.max_caption_len
+    feats = jnp.ones((B, T, D))
+    inputs = jnp.ones((B, L), jnp.int32)
+    logits = model.apply({"params": params}, feats, None, inputs,
+                         method=VidCapModel.xe_logits)
+    assert logits.shape == (B, L, 256)  # padded vocab
+    assert logits.dtype == jnp.float32
+
+
+def test_scan_matches_manual_stepping(tiny_cfg, model_and_params):
+    """The lax.scan XE path must produce the same logits as stepping manually —
+    guards the precomputed-embeddings/keys optimization (SURVEY.md §3.1)."""
+    model, params = model_and_params
+    B, T, D = 3, tiny_cfg.data.num_frames, tiny_cfg.data.feature_dim
+    L = 5
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    inputs = jnp.asarray(rng.integers(1, 90, size=(B, L)), jnp.int32)
+
+    scan_logits = model.apply({"params": params}, feats, None, inputs,
+                              method=VidCapModel.xe_logits)
+
+    state = model.apply({"params": params}, feats, method=VidCapModel.init_state)
+    outs = []
+    for t in range(L):
+        state, lg = model.apply({"params": params}, state, inputs[:, t],
+                                method=VidCapModel.step)
+        outs.append(lg)
+    step_logits = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(scan_logits, step_logits, rtol=2e-5, atol=2e-5)
+
+
+def test_padded_vocab_masked(tiny_cfg, model_and_params):
+    model, params = model_and_params
+    feats = jnp.ones((2, tiny_cfg.data.num_frames, tiny_cfg.data.feature_dim))
+    state = model.apply({"params": params}, feats, method=VidCapModel.init_state)
+    _, logits = model.apply({"params": params}, state,
+                            jnp.zeros((2,), jnp.int32), method=VidCapModel.step)
+    assert float(logits[:, 100:].max()) < -1e29  # ids >= vocab_size impossible
+
+
+def test_masked_xe_loss_ignores_pad():
+    B, L, V = 2, 4, 10
+    logits = jnp.zeros((B, L, V))
+    targets = jnp.ones((B, L), jnp.int32)
+    full_mask = jnp.ones((B, L))
+    half_mask = jnp.array([[1, 1, 0, 0], [1, 1, 0, 0]], jnp.float32)
+    l1, _ = masked_xe_loss(logits, targets, full_mask)
+    l2, _ = masked_xe_loss(logits, targets, half_mask)
+    # uniform logits → per-token loss is log(V) regardless of mask
+    np.testing.assert_allclose(l1, np.log(V), rtol=1e-6)
+    np.testing.assert_allclose(l2, np.log(V), rtol=1e-6)
+    # but a masked token with extreme logits must not affect the loss
+    bad = logits.at[:, 2, 1].set(-100.0)
+    l3, _ = masked_xe_loss(bad, targets, half_mask)
+    np.testing.assert_allclose(l3, l2, rtol=1e-6)
+
+
+def test_shift_right():
+    toks = jnp.array([[5, 6, 7]], jnp.int32)
+    np.testing.assert_array_equal(shift_right(toks), [[1, 5, 6]])  # BOS=1
+
+
+def test_attribute_head_shape(tiny_cfg, model_and_params):
+    model, params = model_and_params
+    feats = jnp.ones((4, tiny_cfg.data.num_frames, tiny_cfg.data.feature_dim))
+    attr = model.apply({"params": params}, feats,
+                       method=VidCapModel.attribute_logits)
+    assert attr.shape == (4, tiny_cfg.data.num_attributes)

@@ -1,0 +1,114 @@
+"""SCST integration (SURVEY.md §4.4): one fused step runs with finite advantage and
+nonzero grads; greedy CIDEr improves when SCST follows XE pretraining."""
+import dataclasses
+
+import jax
+import numpy as np
+
+from vidcap_tpu.metrics.cider import CiderScorer
+from vidcap_tpu.models.model import create_model, init_params
+from vidcap_tpu.objectives.reward_tables import tables_from_dataset
+from vidcap_tpu.train.loop import batch_to_device_dict
+from vidcap_tpu.train.scst import make_scst_step
+from vidcap_tpu.train.state import create_train_state
+from vidcap_tpu.train.steps import make_xe_step
+
+
+def _greedy_cider(cfg, dataset, params):
+    from vidcap_tpu.inference import Captioner
+    from vidcap_tpu.data.vocab import ptb_tokenize
+
+    class _S:  # minimal state shim
+        pass
+
+    s = _S()
+    s.params = params
+    cap = Captioner.from_state(cfg, dataset, s)
+    res = cap.caption_dataset(method="greedy", batch_size=16)
+    gts = {v: [ptb_tokenize(c) for c in caps]
+           for v, caps in dataset.video_captions.items()}
+    scorer = CiderScorer(gts)
+    scores = [scorer.score(v, ptb_tokenize(caps[0]))
+              for v, caps in res.items()]
+    return float(np.mean(scores))
+
+
+def test_scst_step_runs_and_improves(tiny_cfg, tiny_dataset):
+    cfg = dataclasses.replace(
+        tiny_cfg,
+        train=dataclasses.replace(tiny_cfg.train, stage="scst",
+                                  learning_rate=1e-3, batch_size=8))
+    model = create_model(cfg, vocab_size=tiny_dataset.vocab.size)
+    params = init_params(model, cfg, jax.random.key(0))
+    state = create_train_state(cfg, params)
+
+    # XE pretrain so rollouts aren't pure noise
+    xe = make_xe_step(model, dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, learning_rate=3e-3)))
+    it = tiny_dataset.batches(8, seed=0)
+    for _ in range(40):
+        state, _ = xe(state, batch_to_device_dict(next(it)))
+
+    cider_before = _greedy_cider(cfg, tiny_dataset, state.params)
+
+    tables = tables_from_dataset(tiny_dataset)
+    scst = make_scst_step(model, cfg, tables=tables)
+    adv_stds, grad_norms = [], []
+    for _ in range(60):
+        state, m = scst(state, batch_to_device_dict(next(it)))
+        adv_stds.append(float(m["advantage_std"]))
+        grad_norms.append(float(m["grad_norm"]))
+        assert np.isfinite(float(m["loss"]))
+        assert np.isfinite(float(m["reward_sample"]))
+
+    assert max(adv_stds) > 0.0          # sampling explores
+    assert max(grad_norms) > 0.0        # gradients flow
+
+    cider_after = _greedy_cider(cfg, tiny_dataset, state.params)
+    # SCST directly optimizes CIDEr; on the toy corpus it must not regress
+    # and should typically improve
+    assert cider_after > cider_before - 0.05, (cider_before, cider_after)
+
+
+def test_scst_reward_greedy_equals_eval_cider(tiny_cfg, tiny_dataset):
+    """The on-device reward of the greedy rollout must equal the host CIDEr of the
+    decoded strings — ties the reward path to the eval path end-to-end."""
+    from vidcap_tpu.data.vocab import ptb_tokenize
+    from vidcap_tpu.models.decoding import greedy_decode
+    from vidcap_tpu.models.model import VidCapModel
+    from vidcap_tpu.objectives.reward import cider_reward
+    import jax.numpy as jnp
+
+    cfg = tiny_cfg
+    model = create_model(cfg, vocab_size=tiny_dataset.vocab.size)
+    params = init_params(model, cfg, jax.random.key(2))
+    tables = tables_from_dataset(tiny_dataset)
+
+    batch = next(tiny_dataset.video_batches(8))
+
+    def step_fn(state, tok):
+        return model.apply({"params": params}, state, tok,
+                           method=VidCapModel.step)
+
+    state = model.apply({"params": params}, jnp.asarray(batch.features),
+                        method=VidCapModel.init_state)
+    roll = greedy_decode(step_fn, state, 8, cfg.decode.max_len)
+    dev = np.asarray(cider_reward(tables, jnp.asarray(batch.video_idx),
+                                  roll.tokens, roll.mask))
+
+    # host oracle on the SAME integer ids (strip eos/pad like the tables do)
+    refs = {}
+    for v_i, vid in enumerate(tiny_dataset.video_ids):
+        rows = tiny_dataset.tokens[tiny_dataset.caption_video_idx == v_i]
+        refs[v_i] = [[int(t) for t in row if t >= 3] for row in rows]
+    scorer = CiderScorer(refs)
+    toks = np.asarray(roll.tokens)
+    for b in range(8):
+        cand = []
+        for t in toks[b]:
+            if t == 2:
+                break
+            if t >= 3:
+                cand.append(int(t))
+        host = scorer.score(int(batch.video_idx[b]), cand)
+        np.testing.assert_allclose(dev[b], host, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,1 @@
+from vidcap_tpu.cli.main import main  # noqa: F401

@@ -1,0 +1,153 @@
+"""CLI entry points mirroring the reference's public API (SURVEY.md L7,
+BASELINE.json: "Public API mirrors the reference's train/sample/caption entry points").
+
+  python -m vidcap_tpu train   --preset msvd_greedy [--steps N] [--resume]
+  python -m vidcap_tpu sample  --preset scst_cider  [--temperature T]
+  python -m vidcap_tpu caption --preset msrvtt_attn_beam5 [--beam 5] [--out out.json]
+  python -m vidcap_tpu eval    --preset msvd_greedy --captions out.json
+  python -m vidcap_tpu extract --preset e2e_irv2 --videos dir/ (feature precompute, C3)
+
+`train` runs the preset's stage (xe | scst | e2e); `caption` decodes the eval split
+with the preset's decode method and writes {video_id: [caption]} json; `sample`
+decodes with multinomial sampling (the reference's `sample` script).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from typing import Optional
+
+import jax
+import numpy as np
+
+from vidcap_tpu.config import Config, get_preset
+
+
+def _load_dataset(cfg: Config, split: str = "train"):
+    from vidcap_tpu.data.loader import CaptionDataset
+    if cfg.data.dataset == "synthetic":
+        return CaptionDataset.synthetic(cfg.data)
+    try:
+        return CaptionDataset.from_files(cfg.data, split=split)
+    except FileNotFoundError as e:
+        print(f"[vidcap] dataset assets not found ({e}); "
+              f"falling back to the synthetic fixture", file=sys.stderr)
+        return CaptionDataset.synthetic(cfg.data)
+
+
+def cmd_train(args) -> int:
+    cfg = get_preset(args.preset)
+    if args.steps:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, num_steps=args.steps))
+    from vidcap_tpu.train.loop import train
+    from vidcap_tpu.utils.logging import MetricsLogger
+    logger = MetricsLogger(path=args.log_file)
+    train(cfg, dataset=_load_dataset(cfg), logger=logger, resume=args.resume)
+    return 0
+
+
+def _decode_split(cfg: Config, method: str, beam: int, temperature: float,
+                  checkpoint_dir: Optional[str], out_path: Optional[str]) -> dict:
+    from vidcap_tpu.inference import Captioner
+    dataset = _load_dataset(cfg, split="test")
+    cap = Captioner.from_checkpoint(cfg, dataset,
+                                    checkpoint_dir or cfg.train.checkpoint_dir)
+    results = cap.caption_dataset(method=method, beam_width=beam,
+                                  temperature=temperature)
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"[vidcap] wrote {len(results)} captions → {out_path}",
+              file=sys.stderr)
+    else:
+        for vid, caps in list(results.items())[:20]:
+            print(f"{vid}\t{caps[0]}")
+    return results
+
+
+def cmd_caption(args) -> int:
+    cfg = get_preset(args.preset)
+    method = args.method or cfg.decode.method
+    _decode_split(cfg, method, args.beam or cfg.decode.beam_width,
+                  args.temperature, args.checkpoint_dir, args.out)
+    return 0
+
+
+def cmd_sample(args) -> int:
+    cfg = get_preset(args.preset)
+    _decode_split(cfg, "sample", cfg.decode.beam_width, args.temperature,
+                  args.checkpoint_dir, args.out)
+    return 0
+
+
+def cmd_eval(args) -> int:
+    cfg = get_preset(args.preset)
+    dataset = _load_dataset(cfg, split="test")
+    with open(args.captions) as f:
+        results = json.load(f)
+    from vidcap_tpu.metrics.evaluate import evaluate_captions
+    scores = evaluate_captions(
+        {v: dataset.video_captions[v] for v in results if v in dataset.video_captions},
+        results)
+    print(json.dumps(scores, indent=1))
+    return 0
+
+
+def cmd_extract(args) -> int:
+    cfg = get_preset(args.preset)
+    from vidcap_tpu.data.frames import extract_features_for_dir
+    extract_features_for_dir(cfg, args.videos, args.split)
+    return 0
+
+
+def main(argv=None) -> int:
+    from vidcap_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
+    p = argparse.ArgumentParser(prog="vidcap_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--preset", default="msvd_greedy")
+        sp.add_argument("--checkpoint-dir", default=None)
+
+    t = sub.add_parser("train", help="run the preset's training stage")
+    common(t)
+    t.add_argument("--steps", type=int, default=None)
+    t.add_argument("--resume", action="store_true")
+    t.add_argument("--log-file", default=None)
+    t.set_defaults(fn=cmd_train)
+
+    c = sub.add_parser("caption", help="decode the eval split, write json")
+    common(c)
+    c.add_argument("--method", choices=["greedy", "beam", "sample"], default=None)
+    c.add_argument("--beam", type=int, default=None)
+    c.add_argument("--temperature", type=float, default=1.0)
+    c.add_argument("--out", default=None)
+    c.set_defaults(fn=cmd_caption)
+
+    s = sub.add_parser("sample", help="multinomial-sampling decode")
+    common(s)
+    s.add_argument("--temperature", type=float, default=1.0)
+    s.add_argument("--out", default=None)
+    s.set_defaults(fn=cmd_sample)
+
+    e = sub.add_parser("eval", help="score a captions json (BLEU/ROUGE/CIDEr)")
+    common(e)
+    e.add_argument("--captions", required=True)
+    e.set_defaults(fn=cmd_eval)
+
+    x = sub.add_parser("extract", help="precompute CNN features for a video dir")
+    common(x)
+    x.add_argument("--videos", required=True)
+    x.add_argument("--split", default="train")
+    x.set_defaults(fn=cmd_extract)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

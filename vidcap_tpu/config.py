@@ -1,0 +1,187 @@
+"""Frozen dataclass config tree + named presets.
+
+Replaces the reference's scattered ``tf.app.flags`` / hardcoded constants (SURVEY.md C19).
+The five BASELINE.json ``configs`` ship as named presets (SURVEY.md §5 "Config/flag system").
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset / input-pipeline config (SURVEY.md C1, C3–C6)."""
+
+    dataset: str = "msvd"                 # msvd | msrvtt | synthetic
+    feature_dim: int = 1536               # Inception-ResNet-v2 pooled feature dim
+    num_frames: int = 26                  # sampled frames per video
+    max_caption_len: int = 30             # tokens incl. <eos>
+    vocab_size: int = 12_000              # before padding to lane multiple
+    min_word_count: int = 2               # vocab threshold
+    num_attributes: int = 400             # multitask attribute vocab (top-K caption words)
+    frame_size: int = 299                 # CNN input resolution (IRv2)
+    data_dir: str = "data"
+
+    @property
+    def padded_vocab(self) -> int:
+        """Vocab padded to a multiple of 128 so the output projection tiles onto the MXU."""
+        return _round_up(self.vocab_size, 128)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Decoder / encoder architecture (SURVEY.md C2, C7, C8, C15)."""
+
+    embed_dim: int = 512
+    hidden_dim: int = 512
+    attn_dim: int = 512
+    num_lstm_layers: int = 1
+    use_attention: bool = True            # temporal soft attention over frames
+    use_backbone: bool = False            # end-to-end mode: IRv2 inside the train graph
+    backbone: str = "inception_resnet_v2"
+    dropout_rate: float = 0.0
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"       # MXU-friendly; logits/losses stay f32
+    use_pallas_decoder: bool = False      # fused Pallas decode-step kernel (ops/pallas_decoder.py)
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeConfig:
+    """Decoding strategies (SURVEY.md C9–C11)."""
+
+    method: str = "greedy"                # greedy | sample | beam
+    beam_width: int = 5
+    max_len: int = 30
+    length_penalty: float = 0.0           # 0 = raw logprob (reference-style)
+    temperature: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Staged training schedule (SURVEY.md C12–C17, §3.1–3.2, §3.5)."""
+
+    stage: str = "xe"                     # xe | scst | e2e
+    batch_size: int = 32
+    learning_rate: float = 1e-4
+    backbone_lr_scale: float = 0.1        # smaller LR through the CNN in e2e stage
+    grad_clip_norm: float = 5.0
+    num_steps: int = 10_000
+    warmup_steps: int = 0
+    weight_decay: float = 0.0
+    seed: int = 0
+    # SCST / RL
+    scst_reward: str = "cider"            # cider | cider_bleu
+    bleu_mix: float = 0.0                 # weight of BLEU4 in mixed reward
+    # multitask
+    attribute_loss_weight: float = 0.0    # >0 enables the auxiliary attribute head
+    # checkpointing
+    checkpoint_dir: str = "checkpoints"
+    checkpoint_every: int = 1000
+    log_every: int = 50
+    eval_every: int = 2000
+    donate_state: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Parallelism over a TPU mesh (SURVEY.md §2.3)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    num_data: int = -1                    # -1 = all devices on the data axis
+    num_model: int = 1                    # vocab-dim TP seam, off by default
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    name: str = "default"
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    decode: DecodeConfig = dataclasses.field(default_factory=DecodeConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _mk(name: str, **sections) -> Config:
+    base = Config(name=name)
+    return dataclasses.replace(
+        base,
+        **{
+            k: dataclasses.replace(getattr(base, k), **v)
+            for k, v in sections.items()
+        },
+    )
+
+
+# The five BASELINE.json "configs", as named presets.
+PRESETS = {
+    # configs[0]: "MSVD greedy-decode captioning over precomputed CNN features,
+    #              1-layer LSTM decoder, batch 32 (CPU-runnable PR1 ref)"
+    "msvd_greedy": _mk(
+        "msvd_greedy",
+        data=dict(dataset="msvd"),
+        model=dict(num_lstm_layers=1, use_attention=True),
+        decode=dict(method="greedy"),
+        train=dict(stage="xe", batch_size=32),
+    ),
+    # configs[1]: "MSR-VTT temporal-attention LSTM decoder with beam search (width 5)"
+    "msrvtt_attn_beam5": _mk(
+        "msrvtt_attn_beam5",
+        data=dict(dataset="msrvtt", vocab_size=16_000),
+        model=dict(use_attention=True),
+        decode=dict(method="beam", beam_width=5),
+        train=dict(stage="xe", batch_size=64),
+    ),
+    # configs[2]: "End-to-end: on-device frame sampling + Inception-ResNet feature
+    #              extraction fused with attention decoder"
+    "e2e_irv2": _mk(
+        "e2e_irv2",
+        data=dict(dataset="msrvtt"),
+        model=dict(use_backbone=True),
+        decode=dict(method="greedy"),
+        train=dict(stage="e2e", batch_size=8, learning_rate=2e-5),
+    ),
+    # configs[3]: "Multitask training: XE captioning + auxiliary attribute/classification
+    #              heads, shared video encoder"
+    "multitask_xe": _mk(
+        "multitask_xe",
+        data=dict(dataset="msrvtt"),
+        model=dict(use_attention=True),
+        decode=dict(method="greedy"),
+        train=dict(stage="xe", attribute_loss_weight=0.2),
+    ),
+    # configs[4]: "SCST/REINFORCE CIDEr-optimized training with fully on-device sampling,
+    #              reward, and baseline (greedy) rollout"
+    "scst_cider": _mk(
+        "scst_cider",
+        data=dict(dataset="msrvtt"),
+        model=dict(use_attention=True),
+        decode=dict(method="sample"),
+        train=dict(stage="scst", batch_size=32, learning_rate=5e-5,
+                   scst_reward="cider", attribute_loss_weight=0.2),
+    ),
+    # tiny synthetic preset used by tests / CI and the benchmark's warm-up path
+    "synthetic_tiny": _mk(
+        "synthetic_tiny",
+        data=dict(dataset="synthetic", feature_dim=64, num_frames=8,
+                  max_caption_len=12, vocab_size=256, num_attributes=32),
+        model=dict(embed_dim=32, hidden_dim=32, attn_dim=32),
+        decode=dict(max_len=12),
+        train=dict(batch_size=4, num_steps=20, log_every=5, checkpoint_every=10,
+                   learning_rate=3e-3),
+    ),
+}
+
+
+def get_preset(name: str) -> Config:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")
+    return PRESETS[name]

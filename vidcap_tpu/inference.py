@@ -1,0 +1,137 @@
+"""Inference API (SURVEY.md C18, §3.3): restore checkpoint → decode a split on-device.
+
+One jitted decode call per video batch (beams flattened into the batch dim) — the
+reference pays a host↔device round-trip per token (SURVEY.md §3.3).
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidcap_tpu.config import Config
+from vidcap_tpu.data.loader import CaptionDataset
+from vidcap_tpu.models.decoding import (beam_decode, greedy_decode,
+                                        sample_decode, tile_state)
+from vidcap_tpu.models.model import VidCapModel, create_model, init_params
+
+
+class Captioner:
+    """Bound model + params with jit-compiled greedy/beam/sample batch decoders."""
+
+    def __init__(self, cfg: Config, model: VidCapModel, params,
+                 dataset: CaptionDataset):
+        self.cfg = cfg
+        self.model = model
+        self.params = params
+        self.dataset = dataset
+        self.max_len = cfg.decode.max_len
+        self._compiled = {}
+
+    # ------------------------------------------------------------ construction
+
+    @classmethod
+    def from_checkpoint(cls, cfg: Config, dataset: CaptionDataset,
+                        checkpoint_dir: Optional[str] = None) -> "Captioner":
+        model = create_model(cfg, vocab_size=dataset.vocab.size)
+        params = init_params(model, cfg, jax.random.key(cfg.train.seed))
+        if checkpoint_dir:
+            from vidcap_tpu.train.checkpoint import CheckpointManager
+            from vidcap_tpu.train.state import create_train_state
+            mgr = CheckpointManager(checkpoint_dir)
+            if mgr.latest_step() is not None:
+                state = create_train_state(cfg, params)
+                params = mgr.restore(state).params
+            mgr.close()
+        return cls(cfg, model, params, dataset)
+
+    @classmethod
+    def from_state(cls, cfg: Config, dataset: CaptionDataset, state
+                   ) -> "Captioner":
+        model = create_model(cfg, vocab_size=dataset.vocab.size)
+        return cls(cfg, model, state.params, dataset)
+
+    # ------------------------------------------------------------ jitted decoders
+
+    def _step_fn(self, params):
+        def step(state, tok):
+            return self.model.apply({"params": params}, state, tok,
+                                    method=VidCapModel.step)
+        return step
+
+    def _get(self, key, builder):
+        if key not in self._compiled:
+            self._compiled[key] = builder()
+        return self._compiled[key]
+
+    def decode_batch(self, feats: np.ndarray, method: str = "greedy",
+                     beam_width: int = 5, temperature: float = 1.0,
+                     rng: Optional[jax.Array] = None) -> np.ndarray:
+        """feats f32[B, T, D] → token ids i32[B, L]."""
+        B = feats.shape[0]
+        padded_vocab = self.model.decoder.padded_vocab if hasattr(
+            self.model, "decoder") else self.cfg.data.padded_vocab
+
+        if method == "greedy":
+            fn = self._get(("greedy", B), lambda: jax.jit(
+                lambda p, f: greedy_decode(
+                    self._step_fn(p),
+                    self.model.apply({"params": p}, f,
+                                     method=VidCapModel.init_state),
+                    B, self.max_len).tokens))
+            return np.asarray(fn(self.params, feats))
+
+        if method == "sample":
+            fn = self._get(("sample", B, temperature), lambda: jax.jit(
+                lambda p, f, k: sample_decode(
+                    self._step_fn(p),
+                    self.model.apply({"params": p}, f,
+                                     method=VidCapModel.init_state),
+                    B, self.max_len, k, temperature).tokens))
+            rng = rng if rng is not None else jax.random.key(
+                int(time.time_ns() % (1 << 31)))
+            return np.asarray(fn(self.params, feats, rng))
+
+        if method == "beam":
+            K = beam_width
+            pv = max(self.cfg.data.padded_vocab,
+                     ((self.dataset.vocab.size + 127) // 128) * 128)
+
+            def build():
+                def decode(p, f):
+                    state = self.model.apply({"params": p}, f,
+                                             method=VidCapModel.init_state)
+                    state = tile_state(state, K, B)
+                    toks, _ = beam_decode(
+                        self._step_fn(p), state, batch=B,
+                        max_len=self.max_len, beam_width=K, vocab_size=pv,
+                        length_penalty=self.cfg.decode.length_penalty)
+                    return toks
+                return jax.jit(decode)
+
+            fn = self._get(("beam", B, K), build)
+            return np.asarray(fn(self.params, feats))
+
+        raise ValueError(f"unknown decode method {method!r}")
+
+    # ------------------------------------------------------------ dataset decode
+
+    def caption_dataset(self, method: str = "greedy", beam_width: int = 5,
+                        temperature: float = 1.0, batch_size: int = 32
+                        ) -> Dict[str, List[str]]:
+        """Decode every video in the dataset → {video_id: [caption string]}."""
+        results: Dict[str, List[str]] = {}
+        vocab = self.dataset.vocab
+        for batch in self.dataset.video_batches(batch_size):
+            toks = self.decode_batch(batch.features, method=method,
+                                     beam_width=beam_width,
+                                     temperature=temperature)
+            for row, vidx in zip(toks, batch.video_idx):
+                vid = self.dataset.video_ids[int(vidx)]
+                if vid not in results:   # padded tail rows repeat the last video
+                    results[vid] = [vocab.decode_str(row)]
+        return results

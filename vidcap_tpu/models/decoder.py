@@ -1,0 +1,226 @@
+"""Temporal-attention LSTM caption decoder (SURVEY.md C7, C8).
+
+TPU-first design notes (vs. the reference's graph-build-time unrolled TF1 loop,
+SURVEY.md §3.1):
+
+* The teacher-forced XE path is ONE ``lax.scan`` over time — traced once, static
+  shapes, fused by XLA. Token embeddings for the whole sequence and the attention
+  keys (``feats @ W_k``) are precomputed OUTSIDE the scan so the per-step body is
+  only the recurrent matmuls + attention softmax.
+* All decode strategies (greedy / multinomial / beam, models/decoding.py) reuse the
+  same single :meth:`CaptionDecoder.step`, so the rollout loops in SCST never leave
+  the device (BASELINE.json north_star).
+* Matmuls run in ``compute_dtype`` (bfloat16 → MXU); the recurrent state and logits
+  stay float32 for numerical stability.
+* The LSTM cell is hand-rolled with one fused gate matmul ``[x, h] @ W → 4H`` —
+  exactly the layout the Pallas fused decoder-step kernel (ops/pallas_decoder.py)
+  consumes, so the kernel and XLA paths share parameters.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vidcap_tpu.config import ModelConfig
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class DecoderState:
+    """Carried decode state. All leaves are per-example (leading batch dim) except
+    ``keys``/``values``, which are per-video attention tensors."""
+
+    h: Array          # f32[num_layers, B, H]
+    c: Array          # f32[num_layers, B, H]
+    keys: Array       # bf16[B, T, A]  precomputed attention keys (feats @ W_k)
+    values: Array     # bf16[B, T, Dv] projected frame features (attention values)
+    frame_mask: Array  # f32[B, T]     1.0 for real frames
+
+
+jax.tree_util.register_pytree_node(
+    DecoderState,
+    lambda s: ((s.h, s.c, s.keys, s.values, s.frame_mask), None),
+    lambda _, ch: DecoderState(*ch),
+)
+
+
+class LSTMCell(nn.Module):
+    """Fused-gate LSTM cell: gates = [x, h] @ W + b, in compute_dtype on the MXU."""
+
+    hidden_dim: int
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, h: Array, c: Array) -> Tuple[Array, Array]:
+        H = self.hidden_dim
+        in_dim = x.shape[-1] + H
+        w = self.param("w", nn.initializers.glorot_uniform(), (in_dim, 4 * H),
+                       jnp.float32)
+        b = self.param("b", nn.initializers.zeros, (4 * H,), jnp.float32)
+        xh = jnp.concatenate([x, h], axis=-1).astype(self.compute_dtype)
+        gates = jnp.dot(xh, w.astype(self.compute_dtype),
+                        preferred_element_type=jnp.float32) + b
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        new_c = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+        return new_h, new_c
+
+
+class TemporalAttention(nn.Module):
+    """Bahdanau-style soft attention over frames (SURVEY.md C7).
+
+    ``score(h, v_i) = u · tanh(keys_i + W_h h)``; keys are precomputed per video.
+    """
+
+    attn_dim: int
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, h: Array, keys: Array, values: Array, frame_mask: Array
+                 ) -> Tuple[Array, Array]:
+        """h: f32[B, H]; keys: [B, T, A]; values: [B, T, Dv] → (ctx f32[B, Dv], attn f32[B, T])."""
+        q = nn.Dense(self.attn_dim, use_bias=False, name="query",
+                     dtype=self.compute_dtype, param_dtype=jnp.float32)(
+                         h.astype(self.compute_dtype))
+        u = self.param("u", nn.initializers.normal(0.05), (self.attn_dim,),
+                       jnp.float32)
+        scores = jnp.einsum(
+            "bta,a->bt",
+            jnp.tanh(keys + q[:, None, :]).astype(self.compute_dtype),
+            u.astype(self.compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        scores = jnp.where(frame_mask > 0, scores, -1e30)
+        attn = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bt,btd->bd", attn.astype(self.compute_dtype), values,
+                         preferred_element_type=jnp.float32)
+        return ctx, attn
+
+
+class CaptionDecoder(nn.Module):
+    """Embedding + (attention) + LSTM stack + vocab projection (SURVEY.md C8).
+
+    The module exposes three entry points via flax ``method=``:
+      * ``init_state(feats, frame_mask)`` — encode video, build h0/c0 + attention keys
+      * ``step(state, token)``            — one decode step → (state, f32 logits)
+      * ``xe_logits(feats, frame_mask, inputs)`` — teacher-forced logits [B, L, V]
+      * ``encode_video(feats, frame_mask)``      — shared encoder vector for heads
+    """
+
+    cfg: ModelConfig
+    vocab_size: int          # true vocab size (logits beyond this are masked to -inf)
+    padded_vocab: int        # vocab padded to a lane multiple (MXU tiling)
+    feature_dim: int
+
+    def setup(self):
+        c = self.cfg
+        self.compute_dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
+        self.embed = nn.Embed(self.padded_vocab, c.embed_dim,
+                              param_dtype=jnp.float32, name="embed")
+        self.feat_proj = nn.Dense(c.hidden_dim, name="feat_proj",
+                                  dtype=self.compute_dtype, param_dtype=jnp.float32)
+        self.key_proj = nn.Dense(c.attn_dim, use_bias=False, name="key_proj",
+                                 dtype=self.compute_dtype, param_dtype=jnp.float32)
+        self.init_proj = nn.Dense(2 * c.hidden_dim * c.num_lstm_layers,
+                                  name="init_proj", dtype=self.compute_dtype,
+                                  param_dtype=jnp.float32)
+        self.cells = [LSTMCell(c.hidden_dim, self.compute_dtype, name=f"lstm{i}")
+                      for i in range(c.num_lstm_layers)]
+        if c.use_attention:
+            self.attention = TemporalAttention(c.attn_dim, self.compute_dtype,
+                                               name="attention")
+        self.out_proj = nn.Dense(self.padded_vocab, name="out_proj",
+                                 dtype=self.compute_dtype, param_dtype=jnp.float32)
+
+    # ------------------------------------------------------------------ encoding
+
+    def encode_video(self, feats: Array, frame_mask: Array) -> Array:
+        """Masked-mean-pooled projected features — the shared video encoder output
+        the multitask attribute head consumes (SURVEY.md C15)."""
+        proj = self.feat_proj(feats.astype(self.compute_dtype)).astype(jnp.float32)
+        denom = jnp.maximum(frame_mask.sum(-1, keepdims=True), 1.0)
+        return (proj * frame_mask[..., None]).sum(1) / denom  # f32[B, H]
+
+    def init_state(self, feats: Array, frame_mask: Optional[Array] = None
+                   ) -> DecoderState:
+        B, T, _ = feats.shape
+        c = self.cfg
+        if frame_mask is None:
+            frame_mask = jnp.ones((B, T), dtype=jnp.float32)
+        values = self.feat_proj(feats.astype(self.compute_dtype))  # [B, T, H]
+        pooled = self.encode_video(feats, frame_mask)              # f32[B, H]
+        hc = jnp.tanh(self.init_proj(pooled.astype(self.compute_dtype))
+                      ).astype(jnp.float32)
+        hc = hc.reshape(B, 2, c.num_lstm_layers, c.hidden_dim).transpose(1, 2, 0, 3)
+        h, cc = hc[0], hc[1]                                       # [L, B, H]
+        if c.use_attention:
+            keys = self.key_proj(values)                           # [B, T, A]
+        else:
+            keys = jnp.zeros((B, T, c.attn_dim), dtype=self.compute_dtype)
+        return DecoderState(h=h, c=cc, keys=keys, values=values,
+                            frame_mask=frame_mask)
+
+    # ------------------------------------------------------------------ stepping
+
+    def _step_from_emb(self, state: DecoderState, emb: Array
+                       ) -> Tuple[DecoderState, Array]:
+        c = self.cfg
+        if c.use_attention:
+            ctx, _ = self.attention(state.h[-1], state.keys, state.values,
+                                    state.frame_mask)
+        else:
+            denom = jnp.maximum(state.frame_mask.sum(-1, keepdims=True), 1.0)
+            ctx = ((state.values.astype(jnp.float32)
+                    * state.frame_mask[..., None]).sum(1) / denom)
+        x = jnp.concatenate([emb, ctx], axis=-1)
+        new_h, new_c = [], []
+        for i, cell in enumerate(self.cells):
+            hi, ci = cell(x, state.h[i], state.c[i])
+            new_h.append(hi)
+            new_c.append(ci)
+            x = hi
+        logits = self.out_proj(x.astype(self.compute_dtype)).astype(jnp.float32)
+        # mask padding vocab entries so decode strategies can never emit them
+        logits = jnp.where(
+            jnp.arange(self.padded_vocab) < self.vocab_size, logits, -1e30)
+        new_state = DecoderState(h=jnp.stack(new_h), c=jnp.stack(new_c),
+                                 keys=state.keys, values=state.values,
+                                 frame_mask=state.frame_mask)
+        return new_state, logits
+
+    def step(self, state: DecoderState, token: Array
+             ) -> Tuple[DecoderState, Array]:
+        """One decode step. token: i32[B] (previous token) → logits f32[B, V]."""
+        emb = self.embed(token).astype(jnp.float32)
+        return self._step_from_emb(state, emb)
+
+    # ------------------------------------------------------------------ XE path
+
+    def xe_logits(self, feats: Array, frame_mask: Optional[Array],
+                  inputs: Array) -> Array:
+        """Teacher-forced logits. inputs: i32[B, L] (BOS-shifted tokens) → f32[B, L, V].
+
+        One ``lax.scan`` over L; embeddings for the whole sequence are gathered in a
+        single batched lookup outside the scan (SURVEY.md §3.1 "TPU build difference").
+        """
+        state = self.init_state(feats, frame_mask)
+        embs = self.embed(inputs).astype(jnp.float32)    # [B, L, E]
+        embs_t = embs.transpose(1, 0, 2)                 # [L, B, E] scan-major
+        _, logits = jax.lax.scan(
+            lambda st, e: self._step_from_emb(st, e), state, embs_t)
+        return logits.transpose(1, 0, 2)                 # [B, L, V]
+
+    # ------------------------------------------------------------------ init
+
+    def init_all(self, feats: Array, frame_mask: Optional[Array],
+                 token: Array) -> Array:
+        """Parameter-initialization entry point: touches every submodule once
+        OUTSIDE any scan (flax cannot create params inside ``lax.scan``)."""
+        state = self.init_state(feats, frame_mask)
+        _, logits = self.step(state, token)
+        return logits

@@ -1,0 +1,190 @@
+"""On-device decode strategies: greedy, multinomial sampling, beam (SURVEY.md C9–C11).
+
+All three run entirely on-device as a single ``lax.scan`` with a static trip count
+(max_len) — one compiled call per video batch, never one host round-trip per token
+(the reference's beam loop calls ``sess.run`` per token, SURVEY.md §3.3). A static-
+length scan with a finished mask beats ``lax.while_loop`` on TPU here: the trip count
+is tiny (≤30), shapes stay static, and XLA can pipeline the steps.
+
+Greedy doubles as the SCST baseline rollout and multinomial as the SCST sample rollout
+(BASELINE.json configs[4]); both return per-token log-probs so the PG loss needs no
+second forward pass.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vidcap_tpu.data.vocab import BOS, EOS, PAD
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class Rollout:
+    """tokens i32[B, L]; logp f32[B, L] (log-prob of emitted token, 0 after finish);
+    mask f32[B, L] (1.0 for real tokens incl. the first <eos>)."""
+
+    tokens: Array
+    logp: Array
+    mask: Array
+
+
+jax.tree_util.register_pytree_node(
+    Rollout,
+    lambda r: ((r.tokens, r.logp, r.mask), None),
+    lambda _, ch: Rollout(*ch),
+)
+
+
+def _rollout(step_fn, state, batch: int, max_len: int,
+             select_fn) -> Rollout:
+    """Shared greedy/sample scaffold. select_fn(logits, key) → (token, logp)."""
+
+    def body(carry, key):
+        st, prev_tok, finished = carry
+        st, logits = step_fn(st, prev_tok)
+        tok, logp = select_fn(logits, key)
+        tok = jnp.where(finished, PAD, tok)
+        logp = jnp.where(finished, 0.0, logp)
+        mask = 1.0 - finished.astype(jnp.float32)
+        new_finished = finished | (tok == EOS)
+        return (st, tok, new_finished), (tok, logp, mask)
+
+    keys = jax.random.split(jax.random.key(0), max_len)  # unused for greedy
+    init = (state, jnp.full((batch,), BOS, jnp.int32),
+            jnp.zeros((batch,), bool))
+    _, (toks, logps, masks) = jax.lax.scan(body, init, keys)
+    return Rollout(tokens=toks.T, logp=logps.T, mask=masks.T)
+
+
+def greedy_decode(step_fn, state, batch: int, max_len: int) -> Rollout:
+    """Argmax rollout to <eos>/max_len (SURVEY.md C9); SCST baseline path."""
+
+    def select(logits, key):
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return tok, jnp.take_along_axis(logp, tok[:, None], axis=-1)[:, 0]
+
+    return _rollout(step_fn, state, batch, max_len, select)
+
+
+def sample_decode(step_fn, state, batch: int, max_len: int, rng: Array,
+                  temperature: float = 1.0) -> Rollout:
+    """Multinomial rollout via ``jax.random.categorical`` (SURVEY.md C10);
+    SCST sample path."""
+
+    def body(carry, key):
+        st, prev_tok, finished = carry
+        st, logits = step_fn(st, prev_tok)
+        scaled = logits / jnp.maximum(temperature, 1e-6)
+        tok = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+        logp_all = jax.nn.log_softmax(scaled, axis=-1)
+        logp = jnp.take_along_axis(logp_all, tok[:, None], axis=-1)[:, 0]
+        tok = jnp.where(finished, PAD, tok)
+        logp = jnp.where(finished, 0.0, logp)
+        mask = 1.0 - finished.astype(jnp.float32)
+        new_finished = finished | (tok == EOS)
+        return (st, tok, new_finished), (tok, logp, mask)
+
+    keys = jax.random.split(rng, max_len)
+    init = (state, jnp.full((batch,), BOS, jnp.int32),
+            jnp.zeros((batch,), bool))
+    _, (toks, logps, masks) = jax.lax.scan(body, init, keys)
+    return Rollout(tokens=toks.T, logp=logps.T, mask=masks.T)
+
+
+# --------------------------------------------------------------------------- beam
+
+def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
+                vocab_size: int, length_penalty: float = 0.0
+                ) -> Tuple[Array, Array]:
+    """Batched beam search fully on-device (SURVEY.md C11, §3.3 "TPU build").
+
+    The B×K beams are flattened into the batch dimension so every step is one
+    decoder call on a [B*K] batch. State layout: the caller must pass ``state``
+    already tiled to B*K rows (use :func:`tile_state`).
+
+    Returns (tokens i32[B, L] best beam, scores f32[B]).
+    """
+    K, V = beam_width, vocab_size
+    B = batch
+    NEG = -1e30
+
+    def lp_norm(logp, lengths):
+        if length_penalty == 0.0:
+            return logp
+        return logp / ((5.0 + lengths) / 6.0) ** length_penalty
+
+    def gather_rows(x, flat_src):
+        """Reorder the B*K 'batch' rows of a state leaf after beam pruning."""
+        if x.ndim >= 1 and x.shape[0] == B * K:
+            return x[flat_src]
+        if x.ndim >= 2 and x.shape[1] == B * K:   # h/c are [layers, B*K, H]
+            return x[:, flat_src]
+        return x
+
+    def step(carry, t):
+        st, prev_tok, alive_logp, alive_seq, finished = carry
+        # st: decoder state with B*K rows; prev_tok: i32[B*K]
+        st, logits = step_fn(st, prev_tok)                  # [B*K, V]
+        logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
+
+        # finished beams may only extend with PAD at zero cost; everything else -inf
+        pad_only = jnp.full((V,), NEG).at[PAD].set(0.0)
+        logp = jnp.where(finished[:, :, None], pad_only[None, None, :], logp)
+
+        cand = alive_logp[:, :, None] + logp                # [B, K, V]
+        # at t=0 all beams are identical — keep only beam 0's candidates
+        first = (t == 0)
+        beam_mask = jnp.where(
+            first & (jnp.arange(K)[None, :, None] > 0), NEG, 0.0)
+        cand = cand + beam_mask
+
+        flat = cand.reshape(B, K * V)
+        top_logp, top_idx = jax.lax.top_k(flat, K)          # [B, K]
+        src_beam = top_idx // V                             # [B, K]
+        new_tok = (top_idx % V).astype(jnp.int32)           # [B, K]
+
+        # gather: sequences, finished flags, decoder state rows
+        bidx = jnp.arange(B)[:, None]
+        new_seq = alive_seq[bidx, src_beam]                 # [B, K, L]
+        new_seq = new_seq.at[:, :, t].set(new_tok)
+        was_finished = finished[bidx, src_beam]
+        new_finished = was_finished | (new_tok == EOS)
+
+        flat_src = (bidx * K + src_beam).reshape(B * K)     # rows into B*K state
+        st = jax.tree_util.tree_map(lambda x: gather_rows(x, flat_src), st)
+
+        return (st, new_tok.reshape(B * K), top_logp, new_seq, new_finished), None
+
+    alive_seq = jnp.zeros((B, K, max_len), jnp.int32)
+    alive_logp = jnp.zeros((B, K), jnp.float32)
+    finished = jnp.zeros((B, K), bool)
+    prev_tok = jnp.full((B * K,), BOS, jnp.int32)
+    carry = (state, prev_tok, alive_logp, alive_seq, finished)
+    (st, _, alive_logp, alive_seq, finished), _ = jax.lax.scan(
+        step, carry, jnp.arange(max_len))
+
+    lengths = (alive_seq != PAD).astype(jnp.float32).sum(-1)
+    scores = lp_norm(alive_logp, lengths)
+    best = jnp.argmax(scores, axis=-1)                      # [B]
+    bidx = jnp.arange(B)
+    return alive_seq[bidx, best], scores[bidx, best]
+
+
+def tile_state(state, beam_width: int, batch: int):
+    """Repeat each batch row K times along the batch axis of every state leaf.
+
+    DecoderState leaves are [B, ...] except h/c which are [layers, B, H]."""
+
+    def tile(x):
+        if x.ndim >= 2 and x.shape[0] != batch and x.shape[1] == batch:
+            return jnp.repeat(x, beam_width, axis=1)        # [L, B*K, H]
+        return jnp.repeat(x, beam_width, axis=0)            # [B*K, ...]
+
+    return jax.tree_util.tree_map(tile, state)

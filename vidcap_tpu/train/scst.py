@@ -1,0 +1,80 @@
+"""SCST train step: sampling rollout + greedy baseline + on-device CIDEr reward +
+PG loss + optional multitask BCE — ONE jitted function, zero host round-trips
+(BASELINE.json configs[4]; contrast SURVEY.md §3.2's two host crossings per step).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vidcap_tpu.config import Config
+from vidcap_tpu.models.decoding import greedy_decode, sample_decode
+from vidcap_tpu.models.model import VidCapModel
+from vidcap_tpu.objectives.multitask import attribute_bce_loss
+from vidcap_tpu.objectives.reward import scst_reward
+from vidcap_tpu.objectives.reward_tables import RewardTables
+from vidcap_tpu.objectives.scst import scst_loss
+from vidcap_tpu.train.state import TrainState
+from vidcap_tpu.train.steps import optax_global_norm
+
+Array = jax.Array
+
+
+def make_scst_step(model: VidCapModel, cfg: Config, dataset=None,
+                   tables: RewardTables = None) -> Callable:
+    """Build the jitted SCST step. Reward tables come from the dataset (host
+    build, once) and ride along as device constants."""
+    if tables is None:
+        from vidcap_tpu.objectives.reward_tables import tables_from_dataset
+        assert dataset is not None, "need dataset or prebuilt tables"
+        tables = tables_from_dataset(dataset)
+    max_len = cfg.decode.max_len
+    attr_w = cfg.train.attribute_loss_weight
+    bleu_mix = cfg.train.bleu_mix if cfg.train.scst_reward == "cider_bleu" else 0.0
+
+    def loss_fn(params, batch, rng):
+        feats = batch["features"]
+        B = feats.shape[0]
+
+        def step_fn(state, tok):
+            return model.apply({"params": params}, state, tok,
+                               method=VidCapModel.step)
+
+        def init_state():
+            return model.apply({"params": params}, feats,
+                               method=VidCapModel.init_state)
+
+        sample = sample_decode(step_fn, init_state(), B, max_len, rng,
+                               temperature=cfg.decode.temperature)
+        greedy = jax.lax.stop_gradient(
+            greedy_decode(step_fn, init_state(), B, max_len))
+
+        r_s = scst_reward(tables, batch["video_idx"], sample.tokens,
+                          sample.mask, bleu_mix)
+        r_g = scst_reward(tables, batch["video_idx"], greedy.tokens,
+                          greedy.mask, bleu_mix)
+
+        loss, metrics = scst_loss(sample, r_s, r_g)
+        if attr_w > 0:
+            attr = model.apply({"params": params}, feats,
+                               method=VidCapModel.attribute_logits)
+            bce = attribute_bce_loss(attr, batch["attributes"])
+            loss = loss + attr_w * bce
+            metrics["attr_loss"] = bce
+        metrics["loss"] = loss
+        return loss, metrics
+
+    @partial(jax.jit, donate_argnums=(0,) if cfg.train.donate_state else ())
+    def step(state: TrainState, batch: Dict[str, Array]
+             ) -> Tuple[TrainState, Dict[str, Array]]:
+        rng, sub = jax.random.split(state.rng)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, sub)
+        metrics["grad_norm"] = optax_global_norm(grads)
+        new_state = state.apply_gradients(grads)
+        return new_state.replace(rng=rng), metrics
+
+    return step

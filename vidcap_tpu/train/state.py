@@ -1,0 +1,76 @@
+"""Train state + optimizer (SURVEY.md C17).
+
+Replaces the reference's Adam + grad-clip + ``tf.train.Saver`` session plumbing with
+an optax chain and a flax struct the jitted steps thread through with buffer donation.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from vidcap_tpu.config import Config
+
+Array = jax.Array
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: Array                 # i32 scalar
+    params: Any
+    opt_state: Any
+    rng: Array                  # PRNG key threaded through sampling steps
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads) -> "TrainState":
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=new_params,
+                            opt_state=new_opt)
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    t = cfg.train
+    if t.warmup_steps > 0:
+        schedule = optax.schedules.warmup_constant_schedule(
+            0.0, t.learning_rate, t.warmup_steps) if hasattr(
+                optax.schedules, "warmup_constant_schedule") else \
+            optax.linear_schedule(0.0, t.learning_rate, t.warmup_steps)
+    else:
+        schedule = t.learning_rate
+    chain = [optax.clip_by_global_norm(t.grad_clip_norm)]
+    if t.weight_decay > 0:
+        chain.append(optax.adamw(schedule, weight_decay=t.weight_decay))
+    else:
+        chain.append(optax.adam(schedule))
+    tx = optax.chain(*chain)
+    if t.stage == "e2e" and t.backbone_lr_scale != 1.0:
+        # smaller LR through the CNN (SURVEY.md §3.5): scale backbone grads
+        def scale_backbone(path_tree):
+            return jax.tree_util.tree_map_with_path(
+                lambda p, _: "backbone" if any(
+                    getattr(k, "key", None) == "backbone" for k in p)
+                else "rest", path_tree)
+        tx = optax.chain(
+            optax.clip_by_global_norm(t.grad_clip_norm),
+            optax.multi_transform(
+                {"backbone": optax.adam(t.learning_rate * t.backbone_lr_scale),
+                 "rest": optax.adam(schedule)},
+                scale_backbone),
+        )
+    return tx
+
+
+def create_train_state(cfg: Config, params, seed: Optional[int] = None
+                       ) -> TrainState:
+    tx = make_optimizer(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        rng=jax.random.key(seed if seed is not None else cfg.train.seed),
+        tx=tx,
+    )

@@ -1,0 +1,61 @@
+"""Jitted train steps (SURVEY.md C17, §3.1–3.2).
+
+Each stage is ONE compiled function: forward + loss + grads + optimizer update,
+with the train state donated (no reallocation per step). The SCST step additionally
+contains both rollouts and the on-device reward — zero host round-trips
+(BASELINE.json north_star; contrast SURVEY.md §3.2's two per-step host crossings).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vidcap_tpu.config import Config
+from vidcap_tpu.models.model import VidCapModel
+from vidcap_tpu.objectives.multitask import attribute_bce_loss
+from vidcap_tpu.objectives.xe import masked_xe_loss, shift_right
+from vidcap_tpu.train.state import TrainState
+
+Array = jax.Array
+
+
+def make_xe_step(model: VidCapModel, cfg: Config
+                 ) -> Callable[[TrainState, Dict[str, Array]],
+                               Tuple[TrainState, Dict[str, Array]]]:
+    """Cross-entropy (stage 1) or end-to-end (stage 3) train step; the multitask
+    attribute BCE joins the total loss when attribute_loss_weight > 0."""
+    attr_w = cfg.train.attribute_loss_weight
+
+    def loss_fn(params, batch):
+        inputs = batch["features"]
+        logits = model.apply({"params": params}, inputs, None,
+                             shift_right(batch["tokens"]),
+                             method=VidCapModel.xe_logits)
+        xe, ntok = masked_xe_loss(logits, batch["tokens"], batch["mask"])
+        metrics = {"xe_loss": xe, "tokens": ntok}
+        total = xe
+        if attr_w > 0:
+            attr_logits = model.apply({"params": params}, inputs,
+                                      method=VidCapModel.attribute_logits)
+            bce = attribute_bce_loss(attr_logits, batch["attributes"])
+            total = total + attr_w * bce
+            metrics["attr_loss"] = bce
+        metrics["loss"] = total
+        return total, metrics
+
+    @partial(jax.jit, donate_argnums=(0,) if cfg.train.donate_state else ())
+    def step(state: TrainState, batch: Dict[str, Array]):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch)
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return state.apply_gradients(grads), metrics
+
+    return step
+
+
+def optax_global_norm(tree) -> Array:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))

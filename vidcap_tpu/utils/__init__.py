@@ -1,0 +1,1 @@
+from vidcap_tpu.utils.logging import MetricsLogger  # noqa: F401
