@@ -1,0 +1,75 @@
+"""Golden-parity gate (SURVEY.md §4.1, §7 hard-part #3).
+
+BASELINE.json requires token-for-token greedy parity with the reference. The
+reference mount (/root/reference) was EMPTY this round (SURVEY.md §0 provenance
+warning), so true cross-implementation goldens cannot exist yet. This module:
+
+  1. skips loudly while the mount is empty (the skip reason documents the gap);
+  2. maintains SELF-golden fixtures: greedy decode of fixed weights on fixed
+     inputs, frozen at the first green build — any refactor that silently changes
+     decode semantics trips this even without the reference.
+"""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden_greedy.json")
+
+
+def _reference_populated() -> bool:
+    try:
+        for _, _, files in os.walk(REFERENCE):
+            if files:
+                return True
+    except OSError:
+        pass
+    return False
+
+
+@pytest.mark.skipif(not _reference_populated(),
+                    reason="/root/reference is empty — cross-implementation "
+                           "golden parity blocked on the mount (SURVEY.md §0); "
+                           "backfill when populated")
+def test_reference_greedy_parity():
+    raise AssertionError(
+        "reference mount populated — implement: export reference weights, load "
+        "via a checkpoint converter, assert token-for-token greedy equality")
+
+
+def _decode_fixture():
+    from vidcap_tpu.config import get_preset
+    from vidcap_tpu.models.decoding import greedy_decode
+    from vidcap_tpu.models.model import VidCapModel, create_model, init_params
+
+    cfg = get_preset("synthetic_tiny")
+    model = create_model(cfg, vocab_size=100)
+    params = init_params(model, cfg, jax.random.key(1234))
+    rng = np.random.default_rng(99)
+    feats = jnp.asarray(
+        rng.normal(size=(4, cfg.data.num_frames, cfg.data.feature_dim)),
+        jnp.float32)
+
+    def step_fn(state, tok):
+        return model.apply({"params": params}, state, tok,
+                           method=VidCapModel.step)
+
+    state = model.apply({"params": params}, feats,
+                        method=VidCapModel.init_state)
+    return np.asarray(greedy_decode(step_fn, state, 4, 10).tokens)
+
+
+def test_self_golden_greedy():
+    toks = _decode_fixture()
+    if not os.path.exists(GOLDEN):
+        with open(GOLDEN, "w") as f:
+            json.dump({"tokens": toks.tolist(),
+                       "note": "self-golden frozen at first green build"}, f)
+        pytest.skip("golden fixture created on first run")
+    with open(GOLDEN) as f:
+        golden = np.asarray(json.load(f)["tokens"])
+    np.testing.assert_array_equal(toks, golden)

@@ -1,0 +1,39 @@
+"""Deterministic pipeline: resume parity (SURVEY.md §5 failure recovery)."""
+import numpy as np
+
+from vidcap_tpu.data.pipeline import (DeterministicBatcher, IteratorState,
+                                      PrefetchBatcher)
+
+
+def test_resume_reproduces_stream(tiny_dataset):
+    b1 = DeterministicBatcher(tiny_dataset, batch_size=8, seed=5)
+    first = [next(b1) for _ in range(7)]
+    saved = b1.state.to_dict()
+    tail1 = [next(b1) for _ in range(9)]
+
+    b2 = DeterministicBatcher(tiny_dataset, batch_size=8,
+                              state=IteratorState.from_dict(saved))
+    tail2 = [next(b2) for _ in range(9)]
+    for a, b in zip(tail1, tail2):
+        np.testing.assert_array_equal(a.tokens, b.tokens)
+        np.testing.assert_array_equal(a.video_idx, b.video_idx)
+
+
+def test_epoch_rollover_and_coverage(tiny_dataset):
+    b = DeterministicBatcher(tiny_dataset, batch_size=8, seed=1)
+    n = tiny_dataset.num_captions // 8
+    seen = set()
+    for _ in range(n):
+        batch = next(b)
+        seen.update(batch.tokens.tobytes() for _ in [0])
+    assert b.state.epoch in (0, 1)
+
+
+def test_prefetch_yields_same_stream(tiny_dataset):
+    plain = DeterministicBatcher(tiny_dataset, batch_size=8, seed=9)
+    pre = PrefetchBatcher(DeterministicBatcher(tiny_dataset, batch_size=8,
+                                               seed=9))
+    for _ in range(10):
+        a, b = next(plain), next(pre)
+        np.testing.assert_array_equal(a.tokens, b.tokens)
+    pre.close()

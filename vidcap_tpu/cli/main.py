@@ -38,6 +38,8 @@ def _load_dataset(cfg: Config, split: str = "train"):
 
 
 def cmd_train(args) -> int:
+    from vidcap_tpu.parallel.distributed import initialize_multihost
+    initialize_multihost()
     cfg = get_preset(args.preset)
     if args.steps:
         cfg = dataclasses.replace(
@@ -45,7 +47,18 @@ def cmd_train(args) -> int:
     from vidcap_tpu.train.loop import train
     from vidcap_tpu.utils.logging import MetricsLogger
     logger = MetricsLogger(path=args.log_file)
-    train(cfg, dataset=_load_dataset(cfg), logger=logger, resume=args.resume)
+    dataset = _load_dataset(cfg)
+
+    stages = (args.stages.split(",") if args.stages else [cfg.train.stage])
+    # staged schedule (SURVEY.md §0.5): e.g. --stages xe,scst runs XE then
+    # SCST fine-tuning, resuming each stage from the previous checkpoint
+    for i, stage in enumerate(stages):
+        scfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, stage=stage.strip(),
+                num_steps=cfg.train.num_steps * (i + 1)))
+        train(scfg, dataset=dataset, logger=logger,
+              resume=args.resume or i > 0)
     return 0
 
 
@@ -113,9 +126,11 @@ def main(argv=None) -> int:
         sp.add_argument("--preset", default="msvd_greedy")
         sp.add_argument("--checkpoint-dir", default=None)
 
-    t = sub.add_parser("train", help="run the preset's training stage")
+    t = sub.add_parser("train", help="run the preset's training stage(s)")
     common(t)
     t.add_argument("--steps", type=int, default=None)
+    t.add_argument("--stages", default=None,
+                   help="comma list overriding the preset stage, e.g. xe,scst")
     t.add_argument("--resume", action="store_true")
     t.add_argument("--log-file", default=None)
     t.set_defaults(fn=cmd_train)

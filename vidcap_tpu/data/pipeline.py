@@ -1,0 +1,118 @@
+"""Deterministic, checkpointable input pipeline on grain (SURVEY.md §5
+"race detection" row: deterministic mode; "checkpoint/resume" row: dataset
+iterator state saved with the train state).
+
+The plain numpy batcher (loader.batches) stays the default for small corpora;
+this pipeline adds: deterministic global shuffle per epoch, O(1) restartable
+iterator state (epoch, position), and background prefetch of device batches.
+"""
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from vidcap_tpu.data.loader import Batch, CaptionDataset
+
+
+@dataclasses.dataclass
+class IteratorState:
+    """Serializable pipeline position — stored alongside orbax checkpoints."""
+
+    seed: int
+    epoch: int
+    position: int
+
+    def to_dict(self) -> Dict[str, int]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d) -> "IteratorState":
+        return cls(int(d["seed"]), int(d["epoch"]), int(d["position"]))
+
+
+class DeterministicBatcher:
+    """Deterministic shuffled batches with exact resume.
+
+    Every epoch's permutation is a pure function of (seed, epoch), so resuming
+    from (epoch, position) reproduces the identical remaining stream — the
+    SIGKILL-mid-train → resume-parity property (SURVEY.md §5 failure recovery).
+    """
+
+    def __init__(self, dataset: CaptionDataset, batch_size: int,
+                 state: Optional[IteratorState] = None, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.state = state or IteratorState(seed=seed, epoch=0, position=0)
+
+    def _perm(self, epoch: int) -> np.ndarray:
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.state.seed, epoch]))
+        return rng.permutation(self.dataset.num_captions)
+
+    def __iter__(self) -> Iterator[Batch]:
+        return self
+
+    def __next__(self) -> Batch:
+        st = self.state
+        order = self._perm(st.epoch)
+        if st.position + self.batch_size > len(order):
+            self.state = IteratorState(st.seed, st.epoch + 1, 0)
+            return self.__next__()
+        sel = order[st.position: st.position + self.batch_size]
+        self.state = IteratorState(st.seed, st.epoch, st.position
+                                   + self.batch_size)
+        ds = self.dataset
+        vidx = ds.caption_video_idx[sel]
+        return Batch(features=ds.features[vidx], tokens=ds.tokens[sel],
+                     mask=ds.mask[sel], attributes=ds.attributes[vidx],
+                     video_idx=vidx)
+
+
+class PrefetchBatcher:
+    """Background-thread prefetch wrapper (host-side double buffering; the
+    device-side overlap comes from JAX async dispatch)."""
+
+    def __init__(self, batcher: DeterministicBatcher, depth: int = 2):
+        self.batcher = batcher
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._fill, daemon=True)
+        self._thread.start()
+
+    def _fill(self):
+        while not self._stop.is_set():
+            try:
+                item = next(self.batcher)
+            except StopIteration:
+                self._q.put(None)
+                return
+            self._q.put(item)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Batch:
+        item = self._q.get()
+        if item is None:
+            raise StopIteration
+        return item
+
+    @property
+    def state(self) -> IteratorState:
+        # NOTE: reflects the producer position (items in the queue are already
+        # accounted for); exact resume requires draining or re-reading up to
+        # `depth` batches — acceptable for throughput mode, use the plain
+        # DeterministicBatcher when bit-exact resume matters
+        return self.batcher.state
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass

@@ -76,7 +76,18 @@ class Captioner:
         padded_vocab = self.model.decoder.padded_vocab if hasattr(
             self.model, "decoder") else self.cfg.data.padded_vocab
 
+        use_pallas = (self.cfg.model.use_pallas_decoder
+                      and self.cfg.model.num_lstm_layers == 1
+                      and self.cfg.model.use_attention
+                      and B % 8 == 0)
+
         if method == "greedy":
+            if use_pallas:
+                from vidcap_tpu.ops.pallas_decoder import model_rollout
+                fn = self._get(("pgreedy", B), lambda: jax.jit(
+                    lambda p, f: model_rollout(
+                        self.model, p, f, max_len=self.max_len).tokens))
+                return np.asarray(fn(self.params, feats))
             fn = self._get(("greedy", B), lambda: jax.jit(
                 lambda p, f: greedy_decode(
                     self._step_fn(p),
@@ -86,6 +97,14 @@ class Captioner:
             return np.asarray(fn(self.params, feats))
 
         if method == "sample":
+            if use_pallas:
+                from vidcap_tpu.ops.pallas_decoder import model_rollout
+                fn = self._get(("psample", B, temperature), lambda: jax.jit(
+                    lambda p, f, s: model_rollout(
+                        self.model, p, f, max_len=self.max_len, sample=True,
+                        seed=s, temperature=temperature).tokens))
+                seed = jnp.int32(time.time_ns() % (1 << 31))
+                return np.asarray(fn(self.params, feats, seed))
             fn = self._get(("sample", B, temperature), lambda: jax.jit(
                 lambda p, f, k: sample_decode(
                     self._step_fn(p),

@@ -101,8 +101,8 @@ def sample_decode(step_fn, state, batch: int, max_len: int, rng: Array,
 # --------------------------------------------------------------------------- beam
 
 def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
-                vocab_size: int, length_penalty: float = 0.0
-                ) -> Tuple[Array, Array]:
+                vocab_size: int, length_penalty: float = 0.0,
+                recurrent_only_gather: bool = True) -> Tuple[Array, Array]:
     """Batched beam search fully on-device (SURVEY.md C11, §3.3 "TPU build").
 
     The B×K beams are flattened into the batch dimension so every step is one
@@ -120,13 +120,28 @@ def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
             return logp
         return logp / ((5.0 + lengths) / 6.0) ** length_penalty
 
-    def gather_rows(x, flat_src):
-        """Reorder the B*K 'batch' rows of a state leaf after beam pruning."""
-        if x.ndim >= 1 and x.shape[0] == B * K:
-            return x[flat_src]
-        if x.ndim >= 2 and x.shape[1] == B * K:   # h/c are [layers, B*K, H]
-            return x[:, flat_src]
-        return x
+    from vidcap_tpu.models.decoder import DecoderState
+
+    def gather_state(st, flat_src):
+        """Reorder the B*K 'batch' rows of the decode state after beam pruning.
+
+        For DecoderState only the RECURRENT leaves (h, c) need the gather —
+        keys/values/frame_mask are per-video tensors and beam reordering stays
+        within a video's K-row block, so gathering them is an identity (and a
+        ~2× HBM-traffic saving per step at B=128)."""
+        if recurrent_only_gather and isinstance(st, DecoderState):
+            return DecoderState(h=st.h[:, flat_src], c=st.c[:, flat_src],
+                                keys=st.keys, values=st.values,
+                                frame_mask=st.frame_mask)
+
+        def gather_rows(x):
+            if x.ndim >= 1 and x.shape[0] == B * K:
+                return x[flat_src]
+            if x.ndim >= 2 and x.shape[1] == B * K:   # h/c: [layers, B*K, H]
+                return x[:, flat_src]
+            return x
+
+        return jax.tree_util.tree_map(gather_rows, st)
 
     def step(carry, t):
         st, prev_tok, alive_logp, alive_seq, finished = carry
@@ -158,7 +173,7 @@ def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
         new_finished = was_finished | (new_tok == EOS)
 
         flat_src = (bidx * K + src_beam).reshape(B * K)     # rows into B*K state
-        st = jax.tree_util.tree_map(lambda x: gather_rows(x, flat_src), st)
+        st = gather_state(st, flat_src)
 
         return (st, new_tok.reshape(B * K), top_logp, new_seq, new_finished), None
 

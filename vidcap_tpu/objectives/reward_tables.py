@@ -59,50 +59,66 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _ngrams_per_order(tokens: Sequence[int]) -> List[Counter]:
-    return [Counter(tuple(tokens[i: i + n])
-                    for i in range(len(tokens) - n + 1))
-            for n in range(1, NGRAMS + 1)]
+def _ref_entries(tokens: Sequence[int]):
+    """Unique n-gram entries (lo, hi, tf, order) for one reference — native C++
+    fast path (native/vidcap_native.cpp, hash-parity-tested) with a pure-Python
+    fallback."""
+    from vidcap_tpu import native
+    out = native.ref_ngrams(tokens, NGRAMS)
+    if out is not None:
+        lo, hi, tf, order = out
+        return list(zip(lo.tolist(), hi.tolist(), tf.tolist(),
+                        order.tolist()))
+    entries = []
+    for n in range(1, NGRAMS + 1):
+        counter = Counter(tuple(tokens[i: i + n])
+                          for i in range(len(tokens) - n + 1))
+        for gram, tf in counter.items():
+            lo, hi = host_ngram_key(gram, n)
+            entries.append((lo, hi, float(tf), n))
+    return entries
 
 
 def build_reward_tables(refs_per_video: List[List[Sequence[int]]],
                         max_probes: int = 16) -> RewardTables:
     """refs_per_video[v] = list of tokenized (id-sequence) references for video v,
-    WITHOUT <bos>/<eos>/<pad>. Order must match the dataset's video indexing."""
+    WITHOUT <bos>/<eos>/<pad>. Order must match the dataset's video indexing.
+
+    Internally keyed on the 64-bit n-gram hashes throughout (exactly what the
+    device sees), so the native C++ counter plugs in directly."""
     V = len(refs_per_video)
     log_n = math.log(max(V, 1))
 
-    # ---- corpus document frequency (per-video reference SETS, like cider.py)
-    df: Dict[tuple, int] = defaultdict(int)
-    for refs in refs_per_video:
-        seen = set()
-        for r in refs:
-            for c in _ngrams_per_order(r):
-                seen.update(c.keys())
-        for g in seen:
-            df[g] += 1
+    # per-ref hashed entries, computed once
+    per_video_entries: List[List[List[tuple]]] = [
+        [_ref_entries(r) for r in refs] for refs in refs_per_video]
 
-    def idf_weight(gram: tuple) -> float:
-        return log_n - math.log(max(1.0, df.get(gram, 0)))
+    # ---- corpus document frequency over per-video reference SETS of hash keys
+    df: Dict[tuple, int] = defaultdict(int)
+    for refs in per_video_entries:
+        seen = set()
+        for entries in refs:
+            seen.update((lo, hi) for lo, hi, _, _ in entries)
+        for k in seen:
+            df[k] += 1
+
+    def idf_weight(key: tuple) -> float:
+        return log_n - math.log(max(1.0, df.get(key, 0)))
 
     # ---- per-video ref tables
     R = max((len(r) for r in refs_per_video), default=1)
     G = 1
     per_video = []
-    for refs in refs_per_video:
+    for refs, refs_entries in zip(refs_per_video, per_video_entries):
         per_ref = []
-        for r in refs:
-            counters = _ngrams_per_order(r)
+        for r, raw in zip(refs, refs_entries):
             entries = []   # (lo, hi, tf, idf, order)
-            norms = []
-            for n, counter in enumerate(counters, start=1):
-                sq = 0.0
-                for gram, tf in counter.items():
-                    lo, hi = host_ngram_key(gram, n)
-                    w = idf_weight(gram)
-                    entries.append((lo, hi, float(tf), w, n))
-                    sq += (tf * w) ** 2
-                norms.append(math.sqrt(sq))
+            sq = [0.0] * NGRAMS
+            for lo, hi, tf, n in raw:
+                w = idf_weight((lo, hi))
+                entries.append((lo, hi, float(tf), w, int(n)))
+                sq[int(n) - 1] += (tf * w) ** 2
+            norms = [math.sqrt(s) for s in sq]
             per_ref.append((entries, norms, float(len(r))))
             G = max(G, len(entries))
         per_video.append(per_ref)
@@ -138,11 +154,7 @@ def build_reward_tables(refs_per_video: List[List[Sequence[int]]],
     t_val = np.full((S,), log_n, np.float32)   # miss ⇒ default weight anyway
     used = np.zeros((S,), bool)
     probes_needed = 1
-    for gram in uniq:
-        n = len(gram)
-        if n > NGRAMS:
-            continue
-        lo, hi = host_ngram_key(gram, n)
+    for lo, hi in uniq:
         slot = lo % S
         p = 0
         while used[slot] and not (t_lo[slot] == lo and t_hi[slot] == hi):
@@ -153,7 +165,7 @@ def build_reward_tables(refs_per_video: List[List[Sequence[int]]],
         used[slot] = True
         t_lo[slot] = lo
         t_hi[slot] = hi
-        t_val[slot] = idf_weight(gram)
+        t_val[slot] = idf_weight((lo, hi))
         probes_needed = max(probes_needed, p + 1)
     if probes_needed > max_probes:
         raise RuntimeError(

@@ -34,6 +34,8 @@ def make_scst_step(model: VidCapModel, cfg: Config, dataset=None,
     max_len = cfg.decode.max_len
     attr_w = cfg.train.attribute_loss_weight
     bleu_mix = cfg.train.bleu_mix if cfg.train.scst_reward == "cider_bleu" else 0.0
+    use_pallas = (cfg.model.use_pallas_decoder
+                  and cfg.model.num_lstm_layers == 1 and cfg.model.use_attention)
 
     def loss_fn(params, batch, rng):
         feats = batch["features"]
@@ -47,10 +49,33 @@ def make_scst_step(model: VidCapModel, cfg: Config, dataset=None,
             return model.apply({"params": params}, feats,
                                method=VidCapModel.init_state)
 
-        sample = sample_decode(step_fn, init_state(), B, max_len, rng,
-                               temperature=cfg.decode.temperature)
-        greedy = jax.lax.stop_gradient(
-            greedy_decode(step_fn, init_state(), B, max_len))
+        if use_pallas:
+            # fused-kernel rollouts (forward only) + ONE differentiable XLA
+            # teacher-forced re-score of the sampled tokens for the PG gradient
+            from vidcap_tpu.models.decoding import Rollout
+            from vidcap_tpu.objectives.xe import shift_right
+            from vidcap_tpu.ops.pallas_decoder import model_rollout
+
+            seed = jax.random.randint(rng, (), 0, jnp.int32(2**31 - 1))
+            frozen = jax.lax.stop_gradient(params)
+            s_roll = model_rollout(model, frozen, feats, max_len=max_len,
+                                   sample=True, seed=seed,
+                                   temperature=cfg.decode.temperature)
+            greedy = model_rollout(model, frozen, feats, max_len=max_len)
+            logits = model.apply({"params": params}, feats, None,
+                                 shift_right(s_roll.tokens),
+                                 method=VidCapModel.xe_logits)
+            logp_all = jax.nn.log_softmax(
+                logits / jnp.maximum(cfg.decode.temperature, 1e-6), axis=-1)
+            logp = jnp.take_along_axis(
+                logp_all, s_roll.tokens[..., None], axis=-1)[..., 0]
+            sample = Rollout(tokens=s_roll.tokens, logp=logp * s_roll.mask,
+                             mask=s_roll.mask)
+        else:
+            sample = sample_decode(step_fn, init_state(), B, max_len, rng,
+                                   temperature=cfg.decode.temperature)
+            greedy = jax.lax.stop_gradient(
+                greedy_decode(step_fn, init_state(), B, max_len))
 
         r_s = scst_reward(tables, batch["video_idx"], sample.tokens,
                           sample.mask, bleu_mix)
