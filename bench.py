@@ -23,8 +23,7 @@ def bench_beam_captions_per_sec(batch_size: int = 128, iters: int = 8,
     from vidcap_tpu.utils.compilation_cache import enable_compilation_cache
     enable_compilation_cache()
     from vidcap_tpu.config import get_preset
-    from vidcap_tpu.inference import Captioner
-    from vidcap_tpu.models.decoding import beam_decode, tile_state
+    from vidcap_tpu.models.decoding import beam_decode, tile_recurrent
     from vidcap_tpu.models.model import VidCapModel, create_model, init_params
 
     cfg = get_preset("msrvtt_attn_beam5")
@@ -39,17 +38,16 @@ def bench_beam_captions_per_sec(batch_size: int = 128, iters: int = 8,
     rng = np.random.default_rng(0)
     feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
 
-    def step_fn_factory(p):
-        def step(state, tok):
-            return model.apply({"params": p}, state, tok,
-                               method=VidCapModel.step)
-        return step
-
     @jax.jit
     def decode(p, f):
         state = model.apply({"params": p}, f, method=VidCapModel.init_state)
-        state = tile_state(state, K, B)
-        toks, _ = beam_decode(step_fn_factory(p), state, batch=B,
+        state = tile_recurrent(state, K)
+
+        def beam_step(st, tok):
+            return model.apply({"params": p}, st, tok, K,
+                               method=VidCapModel.step_beam)
+
+        toks, _ = beam_decode(beam_step, state, batch=B,
                               max_len=max_len, beam_width=K, vocab_size=pv)
         return toks
 

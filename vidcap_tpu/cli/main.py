@@ -116,6 +116,13 @@ def cmd_extract(args) -> int:
     return 0
 
 
+def cmd_prepare(args) -> int:
+    cfg = get_preset(args.preset)
+    from vidcap_tpu.data.prepare import prepare
+    prepare(cfg.data, args.annotations)
+    return 0
+
+
 def main(argv=None) -> int:
     from vidcap_tpu.utils.compilation_cache import enable_compilation_cache
     enable_compilation_cache()
@@ -159,6 +166,13 @@ def main(argv=None) -> int:
     x.add_argument("--videos", required=True)
     x.add_argument("--split", default="train")
     x.set_defaults(fn=cmd_extract)
+
+    pr = sub.add_parser("prepare",
+                        help="convert MSVD/MSR-VTT annotation files to the "
+                             "canonical data layout")
+    common(pr)
+    pr.add_argument("annotations", nargs="+")
+    pr.set_defaults(fn=cmd_prepare)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -122,11 +122,18 @@ class Captioner:
 
             def build():
                 def decode(p, f):
+                    from vidcap_tpu.models.decoding import tile_recurrent
                     state = self.model.apply({"params": p}, f,
                                              method=VidCapModel.init_state)
-                    state = tile_state(state, K, B)
+                    state = tile_recurrent(state, K)
+
+                    def beam_step(st, tok):
+                        return self.model.apply(
+                            {"params": p}, st, tok, K,
+                            method=VidCapModel.step_beam)
+
                     toks, _ = beam_decode(
-                        self._step_fn(p), state, batch=B,
+                        beam_step, state, batch=B,
                         max_len=self.max_len, beam_width=K, vocab_size=pv,
                         length_penalty=self.cfg.decode.length_penalty)
                     return toks

@@ -80,19 +80,20 @@ class TemporalAttention(nn.Module):
     attn_dim: int
     compute_dtype: Any = jnp.bfloat16
 
-    @nn.compact
+    def setup(self):
+        self.query = nn.Dense(self.attn_dim, use_bias=False, name="query",
+                              dtype=self.compute_dtype, param_dtype=jnp.float32)
+        self.u = self.param("u", nn.initializers.normal(0.05),
+                            (self.attn_dim,), jnp.float32)
+
     def __call__(self, h: Array, keys: Array, values: Array, frame_mask: Array
                  ) -> Tuple[Array, Array]:
         """h: f32[B, H]; keys: [B, T, A]; values: [B, T, Dv] → (ctx f32[B, Dv], attn f32[B, T])."""
-        q = nn.Dense(self.attn_dim, use_bias=False, name="query",
-                     dtype=self.compute_dtype, param_dtype=jnp.float32)(
-                         h.astype(self.compute_dtype))
-        u = self.param("u", nn.initializers.normal(0.05), (self.attn_dim,),
-                       jnp.float32)
+        q = self.query(h.astype(self.compute_dtype))
         scores = jnp.einsum(
             "bta,a->bt",
             jnp.tanh(keys + q[:, None, :]).astype(self.compute_dtype),
-            u.astype(self.compute_dtype),
+            self.u.astype(self.compute_dtype),
             preferred_element_type=jnp.float32,
         )
         scores = jnp.where(frame_mask > 0, scores, -1e30)
@@ -100,6 +101,24 @@ class TemporalAttention(nn.Module):
         ctx = jnp.einsum("bt,btd->bd", attn.astype(self.compute_dtype), values,
                          preferred_element_type=jnp.float32)
         return ctx, attn
+
+    def beam(self, h_top: Array, keys: Array, values: Array,
+             frame_mask: Array) -> Array:
+        """Beam-broadcast attention: h_top f32[B, K, H]; keys/values/frame_mask
+        per-VIDEO ([B, T, ·]) → ctx f32[B, K, Dv]. Same math/precision as
+        __call__, but the K beams of a video share one read of keys/values —
+        ~K× less attention HBM traffic per decode step."""
+        q = self.query(h_top.astype(self.compute_dtype))     # [B, K, A]
+        scores = jnp.einsum(
+            "btka,a->bkt",
+            jnp.tanh(keys[:, :, None, :] + q[:, None, :, :]
+                     ).astype(self.compute_dtype),
+            self.u.astype(self.compute_dtype),
+            preferred_element_type=jnp.float32)              # [B, K, T]
+        scores = jnp.where(frame_mask[:, None, :] > 0, scores, -1e30)
+        attn = jax.nn.softmax(scores, axis=-1)
+        return jnp.einsum("bkt,btd->bkd", attn.astype(self.compute_dtype),
+                          values, preferred_element_type=jnp.float32)
 
 
 class CaptionDecoder(nn.Module):
@@ -116,6 +135,7 @@ class CaptionDecoder(nn.Module):
     vocab_size: int          # true vocab size (logits beyond this are masked to -inf)
     padded_vocab: int        # vocab padded to a lane multiple (MXU tiling)
     feature_dim: int
+    deterministic: bool = True   # False only in training-mode instances (dropout)
 
     def setup(self):
         c = self.cfg
@@ -136,6 +156,7 @@ class CaptionDecoder(nn.Module):
                                                name="attention")
         self.out_proj = nn.Dense(self.padded_vocab, name="out_proj",
                                  dtype=self.compute_dtype, param_dtype=jnp.float32)
+        self.dropout = nn.Dropout(rate=c.dropout_rate)
 
     # ------------------------------------------------------------------ encoding
 
@@ -167,6 +188,29 @@ class CaptionDecoder(nn.Module):
 
     # ------------------------------------------------------------------ stepping
 
+    def _lstm_logits(self, state: DecoderState, emb: Array, ctx: Array
+                     ) -> Tuple[DecoderState, Array]:
+        """Shared LSTM stack + vocab projection given the attention context."""
+        x = jnp.concatenate([emb, ctx], axis=-1)
+        if self.cfg.dropout_rate > 0:
+            x = self.dropout(x, deterministic=self.deterministic)
+        new_h, new_c = [], []
+        for i, cell in enumerate(self.cells):
+            hi, ci = cell(x, state.h[i], state.c[i])
+            new_h.append(hi)
+            new_c.append(ci)
+            x = hi
+        if self.cfg.dropout_rate > 0:
+            x = self.dropout(x, deterministic=self.deterministic)
+        logits = self.out_proj(x.astype(self.compute_dtype)).astype(jnp.float32)
+        # mask padding vocab entries so decode strategies can never emit them
+        logits = jnp.where(
+            jnp.arange(self.padded_vocab) < self.vocab_size, logits, -1e30)
+        new_state = DecoderState(h=jnp.stack(new_h), c=jnp.stack(new_c),
+                                 keys=state.keys, values=state.values,
+                                 frame_mask=state.frame_mask)
+        return new_state, logits
+
     def _step_from_emb(self, state: DecoderState, emb: Array
                        ) -> Tuple[DecoderState, Array]:
         c = self.cfg
@@ -177,6 +221,32 @@ class CaptionDecoder(nn.Module):
             denom = jnp.maximum(state.frame_mask.sum(-1, keepdims=True), 1.0)
             ctx = ((state.values.astype(jnp.float32)
                     * state.frame_mask[..., None]).sum(1) / denom)
+        return self._lstm_logits(state, emb, ctx)
+
+    def step(self, state: DecoderState, token: Array
+             ) -> Tuple[DecoderState, Array]:
+        """One decode step. token: i32[B] (previous token) → logits f32[B, V]."""
+        emb = self.embed(token).astype(jnp.float32)
+        return self._step_from_emb(state, emb)
+
+    def step_beam_hidden(self, state: DecoderState, token: Array,
+                         beam_width: int) -> Tuple[DecoderState, Array]:
+        """Like step_beam but returns the new top-layer hidden state INSTEAD of
+        logits — the fused Pallas project+top-K kernel (ops/pallas_topk.py)
+        consumes h directly so the [B·K, V] logits are never materialized."""
+        c = self.cfg
+        K = beam_width
+        B = state.keys.shape[0]
+        emb = self.embed(token).astype(jnp.float32)
+        if c.use_attention:
+            h_top = state.h[-1].reshape(B, K, -1)
+            ctx = self.attention.beam(h_top, state.keys, state.values,
+                                      state.frame_mask).reshape(B * K, -1)
+        else:
+            denom = jnp.maximum(state.frame_mask.sum(-1, keepdims=True), 1.0)
+            pooled = ((state.values.astype(jnp.float32)
+                       * state.frame_mask[..., None]).sum(1) / denom)
+            ctx = jnp.repeat(pooled, K, axis=0)
         x = jnp.concatenate([emb, ctx], axis=-1)
         new_h, new_c = [], []
         for i, cell in enumerate(self.cells):
@@ -184,20 +254,34 @@ class CaptionDecoder(nn.Module):
             new_h.append(hi)
             new_c.append(ci)
             x = hi
-        logits = self.out_proj(x.astype(self.compute_dtype)).astype(jnp.float32)
-        # mask padding vocab entries so decode strategies can never emit them
-        logits = jnp.where(
-            jnp.arange(self.padded_vocab) < self.vocab_size, logits, -1e30)
         new_state = DecoderState(h=jnp.stack(new_h), c=jnp.stack(new_c),
                                  keys=state.keys, values=state.values,
                                  frame_mask=state.frame_mask)
-        return new_state, logits
+        return new_state, x
 
-    def step(self, state: DecoderState, token: Array
-             ) -> Tuple[DecoderState, Array]:
-        """One decode step. token: i32[B] (previous token) → logits f32[B, V]."""
-        emb = self.embed(token).astype(jnp.float32)
-        return self._step_from_emb(state, emb)
+    def step_beam(self, state: DecoderState, token: Array, beam_width: int
+                  ) -> Tuple[DecoderState, Array]:
+        """Beam decode step with per-VIDEO attention tensors.
+
+        state.h/c are [layers, B·K, H] (beam-tiled) but keys/values/frame_mask
+        stay [B, T, ·] — attention broadcasts over the beam axis instead of
+        reading K duplicated copies from HBM (beam-5 at B=128 saves ~27MB of
+        HBM reads per decode step vs tiling; SURVEY.md §3.3 TPU build)."""
+        c = self.cfg
+        K = beam_width
+        B = state.keys.shape[0]
+        emb = self.embed(token).astype(jnp.float32)        # [B*K, E]
+        if c.use_attention:
+            h_top = state.h[-1].reshape(B, K, -1)
+            ctx = self.attention.beam(h_top, state.keys, state.values,
+                                      state.frame_mask)     # [B, K, H]
+            ctx = ctx.reshape(B * K, -1)
+        else:
+            denom = jnp.maximum(state.frame_mask.sum(-1, keepdims=True), 1.0)
+            pooled = ((state.values.astype(jnp.float32)
+                       * state.frame_mask[..., None]).sum(1) / denom)  # [B, H]
+            ctx = jnp.repeat(pooled, K, axis=0)
+        return self._lstm_logits(state, emb, ctx)
 
     # ------------------------------------------------------------------ XE path
 

@@ -147,26 +147,37 @@ def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
         st, prev_tok, alive_logp, alive_seq, finished = carry
         # st: decoder state with B*K rows; prev_tok: i32[B*K]
         st, logits = step_fn(st, prev_tok)                  # [B*K, V]
-        logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
 
-        # finished beams may only extend with PAD at zero cost; everything else -inf
-        pad_only = jnp.full((V,), NEG).at[PAD].set(0.0)
-        logp = jnp.where(finished[:, :, None], pad_only[None, None, :], logp)
+        # per-row top-K on RAW logits (log_softmax is monotone per row) + one
+        # fused logsumexp — instead of materializing normalized [B·K, V] logp
+        # and running top-K over K·V. The union of per-row top-Ks contains the
+        # global top-K, so results are identical (up to tie order); per step
+        # this saves ~2 HBM sweeps of the [B·K, V] buffer.
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)  # [B*K]
+        tv, ti = jax.lax.top_k(logits, K)                   # [B*K, K]
+        logp_k = (tv - lse[:, None]).reshape(B, K, K)
+        idx_k = ti.reshape(B, K, K).astype(jnp.int32)
 
-        cand = alive_logp[:, :, None] + logp                # [B, K, V]
+        # finished beams: only candidate is PAD at zero cost
+        fin = finished[:, :, None]
+        first_slot = (jnp.arange(K) == 0)[None, None, :]
+        logp_k = jnp.where(fin, jnp.where(first_slot, 0.0, NEG), logp_k)
+        idx_k = jnp.where(fin, PAD, idx_k)
+
+        cand = alive_logp[:, :, None] + logp_k              # [B, K, K]
         # at t=0 all beams are identical — keep only beam 0's candidates
-        first = (t == 0)
         beam_mask = jnp.where(
-            first & (jnp.arange(K)[None, :, None] > 0), NEG, 0.0)
+            (t == 0) & (jnp.arange(K)[None, :, None] > 0), NEG, 0.0)
         cand = cand + beam_mask
 
-        flat = cand.reshape(B, K * V)
+        flat = cand.reshape(B, K * K)
         top_logp, top_idx = jax.lax.top_k(flat, K)          # [B, K]
-        src_beam = top_idx // V                             # [B, K]
-        new_tok = (top_idx % V).astype(jnp.int32)           # [B, K]
+        src_beam = top_idx // K                             # [B, K]
+        src_pos = top_idx % K
+        bidx = jnp.arange(B)[:, None]
+        new_tok = idx_k[bidx, src_beam, src_pos]            # [B, K]
 
         # gather: sequences, finished flags, decoder state rows
-        bidx = jnp.arange(B)[:, None]
         new_seq = alive_seq[bidx, src_beam]                 # [B, K, L]
         new_seq = new_seq.at[:, :, t].set(new_tok)
         was_finished = finished[bidx, src_beam]
@@ -203,3 +214,90 @@ def tile_state(state, beam_width: int, batch: int):
         return jnp.repeat(x, beam_width, axis=0)            # [B*K, ...]
 
     return jax.tree_util.tree_map(tile, state)
+
+
+def tile_recurrent(state, beam_width: int):
+    """Beam-tile ONLY the recurrent state (h, c → [layers, B·K, H]); attention
+    tensors stay per-video for the shared-keys beam step (decoder.step_beam)."""
+    from vidcap_tpu.models.decoder import DecoderState
+    return DecoderState(
+        h=jnp.repeat(state.h, beam_width, axis=1),
+        c=jnp.repeat(state.c, beam_width, axis=1),
+        keys=state.keys, values=state.values, frame_mask=state.frame_mask)
+
+
+def beam_decode_fused(step_h_fn, out_w, out_b, state, batch: int,
+                      max_len: int, beam_width: int, vocab_size: int,
+                      length_penalty: float = 0.0) -> Tuple[Array, Array]:
+    """Beam search with the fused Pallas project+top-K kernel
+    (ops/pallas_topk.py): ``step_h_fn(state, tok) → (state, h [B*K, H])``; the
+    [B·K, V] logits never hit HBM. Semantics match :func:`beam_decode` — the
+    union of per-row top-Ks contains the global top-K (up to tie order)."""
+    from vidcap_tpu.models.decoder import DecoderState
+    from vidcap_tpu.ops.pallas_topk import topk_project
+
+    K = beam_width
+    B = batch
+    NEG = -1e30
+
+    def lp_norm(logp, lengths):
+        if length_penalty == 0.0:
+            return logp
+        return logp / ((5.0 + lengths) / 6.0) ** length_penalty
+
+    def gather_state(st, flat_src):
+        if isinstance(st, DecoderState):
+            return DecoderState(h=st.h[:, flat_src], c=st.c[:, flat_src],
+                                keys=st.keys, values=st.values,
+                                frame_mask=st.frame_mask)
+        return jax.tree_util.tree_map(lambda x: x[flat_src], st)
+
+    def step(carry, t):
+        st, prev_tok, alive_logp, alive_seq, finished = carry
+        st, h = step_h_fn(st, prev_tok)                       # h: [B*K, H]
+        logp_k, idx_k = topk_project(h, out_w, out_b, K=K,
+                                     vocab_size=vocab_size)   # [B*K, K]
+        logp_k = logp_k.reshape(B, K, K)
+        idx_k = idx_k.reshape(B, K, K).astype(jnp.int32)
+
+        # finished beams: only candidate is PAD at zero cost
+        fin = finished[:, :, None]
+        first_slot = (jnp.arange(K) == 0)[None, None, :]
+        logp_k = jnp.where(fin, jnp.where(first_slot, 0.0, NEG), logp_k)
+        idx_k = jnp.where(fin, PAD, idx_k)
+
+        cand = alive_logp[:, :, None] + logp_k                # [B, K, K]
+        beam_mask = jnp.where(
+            (t == 0) & (jnp.arange(K)[None, :, None] > 0), NEG, 0.0)
+        cand = cand + beam_mask
+
+        flat = cand.reshape(B, K * K)
+        top_logp, top_idx = jax.lax.top_k(flat, K)            # [B, K]
+        src_beam = top_idx // K
+        src_pos = top_idx % K
+        bidx = jnp.arange(B)[:, None]
+        new_tok = idx_k[bidx, src_beam, src_pos]              # [B, K]
+
+        new_seq = alive_seq[bidx, src_beam]
+        new_seq = new_seq.at[:, :, t].set(new_tok)
+        was_finished = finished[bidx, src_beam]
+        new_finished = was_finished | (new_tok == EOS)
+
+        flat_src = (bidx * K + src_beam).reshape(B * K)
+        st = gather_state(st, flat_src)
+        return (st, new_tok.reshape(B * K), top_logp, new_seq,
+                new_finished), None
+
+    alive_seq = jnp.zeros((B, K, max_len), jnp.int32)
+    alive_logp = jnp.zeros((B, K), jnp.float32)
+    finished = jnp.zeros((B, K), bool)
+    prev_tok = jnp.full((B * K,), BOS, jnp.int32)
+    carry = (state, prev_tok, alive_logp, alive_seq, finished)
+    (st, _, alive_logp, alive_seq, finished), _ = jax.lax.scan(
+        step, carry, jnp.arange(max_len))
+
+    lengths = (alive_seq != PAD).astype(jnp.float32).sum(-1)
+    scores = lp_norm(alive_logp, lengths)
+    best = jnp.argmax(scores, axis=-1)
+    bidx = jnp.arange(B)
+    return alive_seq[bidx, best], scores[bidx, best]

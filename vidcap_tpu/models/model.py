@@ -24,6 +24,7 @@ Array = jax.Array
 class VidCapModel(nn.Module):
     cfg: Config
     vocab_size: int
+    deterministic: bool = True   # False = training instance (dropout active)
 
     def setup(self):
         c = self.cfg
@@ -39,6 +40,7 @@ class VidCapModel(nn.Module):
             padded_vocab=max(self.cfg.data.padded_vocab,
                              ((self.vocab_size + 127) // 128) * 128),
             feature_dim=c.data.feature_dim,
+            deterministic=self.deterministic,
             name="decoder",
         )
         self.attr_head = AttributeHead(
@@ -69,6 +71,14 @@ class VidCapModel(nn.Module):
              ) -> Tuple[DecoderState, Array]:
         return self.decoder.step(state, token)
 
+    def step_beam(self, state: DecoderState, token: Array, beam_width: int
+                  ) -> Tuple[DecoderState, Array]:
+        return self.decoder.step_beam(state, token, beam_width)
+
+    def step_beam_hidden(self, state: DecoderState, token: Array,
+                         beam_width: int) -> Tuple[DecoderState, Array]:
+        return self.decoder.step_beam_hidden(state, token, beam_width)
+
     def xe_logits(self, inputs: Array, frame_mask: Optional[Array],
                   teacher_inputs: Array) -> Array:
         return self.decoder.xe_logits(self.encode_features(inputs), frame_mask,
@@ -90,8 +100,13 @@ class VidCapModel(nn.Module):
         return logits, attr
 
 
-def create_model(cfg: Config, vocab_size: int) -> VidCapModel:
-    return VidCapModel(cfg=cfg, vocab_size=vocab_size)
+def create_model(cfg: Config, vocab_size: int,
+                 deterministic: bool = True) -> VidCapModel:
+    """deterministic=False builds the training-mode instance (dropout active);
+    both instances share the same parameter tree. Dropout inside the decode
+    scan reuses one mask across timesteps (variational/recurrent dropout)."""
+    return VidCapModel(cfg=cfg, vocab_size=vocab_size,
+                       deterministic=deterministic)
 
 
 def init_params(model: VidCapModel, cfg: Config, rng: jax.Array):

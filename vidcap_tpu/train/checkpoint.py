@@ -24,28 +24,54 @@ class CheckpointManager:
                 max_to_keep=max_to_keep, enable_async_checkpointing=True),
         )
 
-    def save(self, state: TrainState) -> None:
+    def save(self, state: TrainState, iter_state=None) -> None:
+        """iter_state: optional data/pipeline.IteratorState — saved alongside so
+        a resumed run replays the exact remaining batch stream (SIGKILL-resume
+        parity, SURVEY.md §5 failure recovery)."""
+        import numpy as np
         payload = {"params": state.params, "opt_state": state.opt_state,
                    "step": state.step, "rng": jax.random.key_data(state.rng)}
+        if iter_state is not None:
+            payload["iter_state"] = np.asarray(
+                [iter_state.seed, iter_state.epoch, iter_state.position],
+                np.int64)
         self._mgr.save(int(state.step), args=ocp.args.StandardSave(payload))
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore(self, state: TrainState, step: Optional[int] = None
-                ) -> TrainState:
+    def restore(self, state: TrainState, step: Optional[int] = None,
+                with_iter: bool = False):
         """Restore into the structure of `state` (must be built with the same
-        config); returns the restored TrainState."""
+        config). Returns the TrainState, or (TrainState, IteratorState|None)
+        when with_iter=True."""
+        import numpy as np
         target = {"params": state.params, "opt_state": state.opt_state,
                   "step": state.step,
                   "rng": jax.random.key_data(state.rng)}
         step = step if step is not None else self._mgr.latest_step()
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(target))
-        return state.replace(
+        # checkpoints may or may not carry iterator state — try both layouts
+        has_iter = True
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(
+                    dict(target, iter_state=np.zeros((3,), np.int64))))
+        except ValueError:
+            has_iter = False
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(target))
+        new_state = state.replace(
             params=restored["params"], opt_state=restored["opt_state"],
             step=restored["step"],
             rng=jax.random.wrap_key_data(restored["rng"]))
+        if not with_iter:
+            return new_state
+        iter_state = None
+        if has_iter:
+            from vidcap_tpu.data.pipeline import IteratorState
+            s, e, p = [int(x) for x in restored["iter_state"]]
+            iter_state = IteratorState(seed=s, epoch=e, position=p)
+        return new_state, iter_state
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

@@ -46,9 +46,12 @@ def train(
     params = init_params(model, cfg, jax.random.key(cfg.train.seed))
     state = create_train_state(cfg, params)
 
+    from vidcap_tpu.data.pipeline import DeterministicBatcher
+
     ckpt = CheckpointManager(cfg.train.checkpoint_dir)
+    iter_state = None
     if resume and ckpt.latest_step() is not None:
-        state = ckpt.restore(state)
+        state, iter_state = ckpt.restore(state, with_iter=True)
 
     if make_step is None:
         if cfg.train.stage in ("xe", "e2e"):
@@ -62,7 +65,10 @@ def train(
         step_fn = make_step(model, cfg)
 
     start = int(state.step)
-    it = dataset.batches(cfg.train.batch_size, seed=cfg.train.seed + start)
+    # deterministic, checkpointable batch stream: a resumed run replays the
+    # exact remaining stream (SIGKILL-resume parity, SURVEY.md §5)
+    it = DeterministicBatcher(dataset, cfg.train.batch_size,
+                              state=iter_state, seed=cfg.train.seed)
     t_last, s_last = time.time(), start
     for i in range(start, num_steps):
         batch = next(it)
@@ -75,7 +81,7 @@ def train(
             metrics["steps_per_sec"] = sps
             logger.log(i + 1, metrics)
         if (i + 1) % cfg.train.checkpoint_every == 0 or i + 1 == num_steps:
-            ckpt.save(state)
+            ckpt.save(state, iter_state=it.state)
     ckpt.wait()
     ckpt.close()
     return state

@@ -28,12 +28,19 @@ def make_xe_step(model: VidCapModel, cfg: Config
     """Cross-entropy (stage 1) or end-to-end (stage 3) train step; the multitask
     attribute BCE joins the total loss when attribute_loss_weight > 0."""
     attr_w = cfg.train.attribute_loss_weight
+    dropout = cfg.model.dropout_rate > 0
+    if dropout:
+        from vidcap_tpu.models.model import create_model
+        train_model = create_model(cfg, model.vocab_size, deterministic=False)
+    else:
+        train_model = model
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, rng):
         inputs = batch["features"]
-        logits = model.apply({"params": params}, inputs, None,
-                             shift_right(batch["tokens"]),
-                             method=VidCapModel.xe_logits)
+        rngs = {"dropout": rng} if dropout else None
+        logits = train_model.apply({"params": params}, inputs, None,
+                                   shift_right(batch["tokens"]),
+                                   method=VidCapModel.xe_logits, rngs=rngs)
         xe, ntok = masked_xe_loss(logits, batch["tokens"], batch["mask"])
         metrics = {"xe_loss": xe, "tokens": ntok}
         total = xe
@@ -48,10 +55,11 @@ def make_xe_step(model: VidCapModel, cfg: Config
 
     @partial(jax.jit, donate_argnums=(0,) if cfg.train.donate_state else ())
     def step(state: TrainState, batch: Dict[str, Array]):
+        rng, sub = jax.random.split(state.rng)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch)
+            state.params, batch, sub)
         metrics["grad_norm"] = optax_global_norm(grads)
-        return state.apply_gradients(grads), metrics
+        return state.apply_gradients(grads).replace(rng=rng), metrics
 
     return step
 

@@ -19,10 +19,20 @@ def _to_float(v) -> float:
 
 
 class MetricsLogger:
-    def __init__(self, path: Optional[str] = None, quiet: bool = False):
+    def __init__(self, path: Optional[str] = None, quiet: bool = False,
+                 tensorboard_dir: Optional[str] = None):
         self._f = open(path, "a") if path else None
         self.quiet = quiet
         self._t0 = time.time()
+        self._tb = None
+        tensorboard_dir = tensorboard_dir or __import__("os").environ.get(
+            "VIDCAP_TB_DIR")
+        if tensorboard_dir:
+            try:
+                import tensorflow as tf  # environment-provided, host-only
+                self._tb = tf.summary.create_file_writer(tensorboard_dir)
+            except Exception:
+                self._tb = None
 
     def log(self, step: int, metrics: Dict[str, object], prefix: str = "train"
             ) -> None:
@@ -32,6 +42,12 @@ class MetricsLogger:
         if self._f:
             self._f.write(json.dumps(row) + "\n")
             self._f.flush()
+        if self._tb is not None:
+            import tensorflow as tf
+            with self._tb.as_default():
+                for k, v in row.items():
+                    if isinstance(v, float):
+                        tf.summary.scalar(f"{prefix}/{k}", v, step=int(step))
         if not self.quiet:
             kv = " ".join(f"{k}={row[k]:.4g}" for k in metrics)
             print(f"[{prefix} {step}] {kv}", file=sys.stderr)
@@ -39,3 +55,5 @@ class MetricsLogger:
     def close(self) -> None:
         if self._f:
             self._f.close()
+        if self._tb is not None:
+            self._tb.close()
