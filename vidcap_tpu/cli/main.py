@@ -123,6 +123,20 @@ def cmd_prepare(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    cfg = get_preset(args.preset)
+    from vidcap_tpu.inference import Captioner
+    from vidcap_tpu.serving import CaptionServer
+    dataset = _load_dataset(cfg, split="train")   # supplies the vocab
+    cap = Captioner.from_checkpoint(
+        cfg, dataset, args.checkpoint_dir or cfg.train.checkpoint_dir)
+    server = CaptionServer(cfg, cap, batch_size=args.batch,
+                           method=args.method or cfg.decode.method,
+                           beam_width=args.beam or cfg.decode.beam_width)
+    server.run()
+    return 0
+
+
 def main(argv=None) -> int:
     from vidcap_tpu.utils.compilation_cache import enable_compilation_cache
     enable_compilation_cache()
@@ -173,6 +187,14 @@ def main(argv=None) -> int:
     common(pr)
     pr.add_argument("annotations", nargs="+")
     pr.set_defaults(fn=cmd_prepare)
+
+    sv = sub.add_parser("serve", help="caption feature/video paths from stdin")
+    common(sv)
+    sv.add_argument("--method", choices=["greedy", "beam", "sample"],
+                    default=None)
+    sv.add_argument("--beam", type=int, default=None)
+    sv.add_argument("--batch", type=int, default=32)
+    sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -331,6 +331,18 @@ def pallas_rollout(
     if jax.default_backend() == "cpu":
         interpret = True    # Mosaic is TPU-only; CPU (tests) runs interpreted
 
+    # VMEM budget: resident attention tensors + LSTM weights + scratch must fit
+    # the ~16MB core VMEM, or Mosaic fails late with an opaque allocation error
+    vmem = (B * T * (A + H) * 2          # keys + values (bf16)
+            + (E + 2 * H) * 4 * H * 2    # fused LSTM weight (bf16)
+            + 2 * H * TILE * 2           # W_out double buffer
+            + B * (2 * H * 4 + E * 2 + 8 * E * 2 + 6 * 128 * 4)  # state/scratch
+            + Vp * 4)                    # b_out
+    if not interpret and vmem > 14 * 1024 * 1024:
+        raise ValueError(
+            f"pallas_rollout VMEM estimate {vmem/1e6:.1f}MB exceeds budget; "
+            f"reduce batch (B={B}) or frames (T={T})")
+
     kern = functools.partial(
         _rollout_kernel, B=B, E=E, H=H, A=A, T=T, Vp=Vp, TILE=TILE,
         vocab_size=vocab_size, sample=sample, temperature=float(temperature))
