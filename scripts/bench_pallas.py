@@ -38,29 +38,26 @@ def main(use_cache: bool = True, B: int = 64):
     def kern_greedy(p, f):
         return model_rollout(model, p, f, max_len=30).tokens
 
-    t = time.time()
-    k1 = np.asarray(kern_greedy(params, feats[0]))
-    print(f"pallas compile+run {time.time()-t:.1f}s", flush=True)
-    t = time.time()
-    for f in feats[1:]:
-        r = kern_greedy(params, f)
-    np.asarray(r)
-    dt = time.time() - t
-    print(f"pallas 5 runs {dt:.4f}s -> {B*5/dt:.1f} caps/s", flush=True)
+    N = 20
+    stacked = jnp.stack(feats[:5] + feats[:5] + feats[:5] + feats[:5])
 
-    t = time.time()
-    x1 = np.asarray(xla_greedy(params, feats[0]))
-    print(f"xla compile+run {time.time()-t:.1f}s", flush=True)
-    t = time.time()
-    for f in feats[1:]:
-        r = xla_greedy(params, f)
-    np.asarray(r)
-    dt = time.time() - t
-    print(f"xla 5 runs {dt:.4f}s -> {B*5/dt:.1f} caps/s", flush=True)
+    def timed(name, fn):
+        many = jax.jit(lambda p, fs: jax.lax.map(lambda f: fn(p, f), fs))
+        t = time.time()
+        np.asarray(many(params, stacked))
+        print(f"{name} compile+run {time.time()-t:.1f}s", flush=True)
+        t = time.time()
+        r = np.asarray(many(params, stacked))
+        dt = time.time() - t
+        print(f"{name} {N} on-chip rollouts {dt:.4f}s -> "
+              f"{B*N/dt:.1f} caps/s ({dt/N*1e3:.2f} ms/rollout)", flush=True)
+        return r
 
+    k1 = timed("pallas", kern_greedy)
+    x1 = timed("xla", xla_greedy)
     print("token match rate", (x1 == k1).mean(), flush=True)
-    print("xla   ", x1[1][:10])
-    print("pallas", k1[1][:10])
+    print("xla   ", x1[1][1][:10])
+    print("pallas", k1[1][1][:10])
 
 
 if __name__ == "__main__":

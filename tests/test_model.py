@@ -87,3 +87,29 @@ def test_attribute_head_shape(tiny_cfg, model_and_params):
     attr = model.apply({"params": params}, feats,
                        method=VidCapModel.attribute_logits)
     assert attr.shape == (4, tiny_cfg.data.num_attributes)
+
+
+def test_two_layer_decoder(tiny_cfg):
+    """Multi-layer LSTM stacks (cfg.num_lstm_layers>1) keep scan/step parity."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        tiny_cfg, model=dataclasses.replace(tiny_cfg.model, num_lstm_layers=2))
+    model = create_model(cfg, vocab_size=50)
+    params = init_params(model, cfg, jax.random.key(0))
+    B, T, D, L = 2, cfg.data.num_frames, cfg.data.feature_dim, 4
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    inputs = jnp.asarray(rng.integers(1, 40, size=(B, L)), jnp.int32)
+
+    scan_logits = model.apply({"params": params}, feats, None, inputs,
+                              method=VidCapModel.xe_logits)
+    state = model.apply({"params": params}, feats,
+                        method=VidCapModel.init_state)
+    assert state.h.shape[0] == 2          # two recurrent layers
+    outs = []
+    for t in range(L):
+        state, lg = model.apply({"params": params}, state, inputs[:, t],
+                                method=VidCapModel.step)
+        outs.append(lg)
+    np.testing.assert_allclose(scan_logits, jnp.stack(outs, 1),
+                               rtol=2e-5, atol=2e-5)

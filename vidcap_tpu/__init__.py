@@ -13,3 +13,19 @@ functions re-exported here.
 __version__ = "0.1.0"
 
 from vidcap_tpu.config import Config, PRESETS, get_preset  # noqa: F401
+
+
+def __getattr__(name):  # lazy: keep bare `import vidcap_tpu` light
+    if name == "Captioner":
+        from vidcap_tpu.inference import Captioner
+        return Captioner
+    if name == "CaptionDataset":
+        from vidcap_tpu.data.loader import CaptionDataset
+        return CaptionDataset
+    if name == "train":
+        from vidcap_tpu.train.loop import train
+        return train
+    if name == "create_model":
+        from vidcap_tpu.models.model import create_model
+        return create_model
+    raise AttributeError(name)

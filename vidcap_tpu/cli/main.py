@@ -197,7 +197,16 @@ def main(argv=None) -> int:
     sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except KeyError as e:
+        if "unknown preset" in str(e):
+            print(f"error: {e.args[0]}", file=sys.stderr)
+            return 2
+        raise
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

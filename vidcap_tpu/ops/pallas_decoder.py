@@ -119,11 +119,11 @@ def _rollout_kernel(
     best_idx_s,          # i32[B, 128]
     m_s, s_s,            # f32[B, 128]  running logsumexp (max, sum)
     wout_buf,            # bf16[2, H, TILE]
-    emb_sems,            # DMA sems (DMA_WAVE,)
+    emb_sems,            # DMA sems (B,) — all gathers in flight at once
     wout_sems,           # DMA sems (2,)
     *,
     B: int, E: int, H: int, A: int, T: int, Vp: int, TILE: int,
-    vocab_size: int, sample: bool, temperature: float,
+    vocab_size: int, sample: bool, temperature: float, resident: bool,
 ):
     t_step = pl.program_id(0)
     n_tiles = Vp // TILE
@@ -135,38 +135,29 @@ def _rollout_kernel(
         tok_s[:] = jnp.full_like(tok_s[:], BOS)
         fin_s[:] = jnp.zeros_like(fin_s[:])
 
-    # ---- 1. embedding gather ---------------------------------------------------
-    # Mosaic tiles HBM memrefs (8, 128), so a 1-row slice is illegal; DMA the
-    # aligned 8-row block containing each token instead (wave-pipelined), then
-    # select the row on-chip with a one-hot reduction.
-    def emb_dma(b, slot):
+    # ---- 1. embedding gather (issue) -----------------------------------------
+    # Mosaic tiles memrefs (8, 128), so a 1-row slice is illegal; fetch the
+    # aligned 8-row block containing each token and select with a one-hot
+    # reduction. resident mode: the table lives in VMEM → direct vector loads;
+    # streamed mode: ALL B DMAs go into flight at once (per-row semaphores) and
+    # land while the attention math below runs — waits happen before the LSTM.
+    def emb_dma(b):
         block = pl.multiple_of((tok_s[b, 0] // 8) * 8, 8)
         return pltpu.make_async_copy(
             emb_hbm.at[pl.ds(block, 8), :],
             emb8_s.at[b],
-            emb_sems.at[slot],
+            emb_sems.at[b],
         )
 
-    def gather_wave(w, _):
-        base = w * DMA_WAVE
-        for k in range(DMA_WAVE):
-            @pl.when(base + k < B)
-            def _():
-                emb_dma(base + k, k).start()
-        for k in range(DMA_WAVE):
-            @pl.when(base + k < B)
-            def _():
-                emb_dma(base + k, k).wait()
-        return 0
+    if resident:
+        for b in range(B):
+            block = pl.multiple_of((tok_s[b, 0] // 8) * 8, 8)
+            emb8_s[b] = emb_hbm[pl.ds(block, 8), :]
+    else:
+        for b in range(B):
+            emb_dma(b).start()
 
-    jax.lax.fori_loop(0, pl.cdiv(B, DMA_WAVE), gather_wave, 0)
-    sub = tok_s[0:B, 0:1] % 8                                     # [B, 1]
-    onehot8 = (jax.lax.broadcasted_iota(jnp.int32, (B, 8), 1)
-               == sub).astype(jnp.float32)                        # [B, 8]
-    emb_s[:] = (emb8_s[:].astype(jnp.float32)
-                * onehot8[:, :, None]).sum(axis=1).astype(jnp.bfloat16)
-
-    # ---- 2. attention --------------------------------------------------------
+    # ---- 2. attention (overlaps with the gather DMAs) ------------------------
     # precision chain mirrors models/decoder.TemporalAttention exactly (bf16
     # Dense outputs, bf16 add + tanh) so greedy tokens match the XLA path
     h = h_s[:]                                              # f32[B, H]
@@ -189,6 +180,16 @@ def _rollout_kernel(
     )[:, 0, :]                                               # f32[B, H]
 
     # ---- 3. LSTM fused-gate matmul -------------------------------------------
+    # collect the gathered embedding blocks, select rows via one-hot reduction
+    if not resident:
+        for b in range(B):
+            emb_dma(b).wait()
+    sub = tok_s[0:B, 0:1] % 8                                     # [B, 1]
+    onehot8 = (jax.lax.broadcasted_iota(jnp.int32, (B, 8), 1)
+               == sub).astype(jnp.float32)                        # [B, 8]
+    emb_s[:] = (emb8_s[:].astype(jnp.float32)
+                * onehot8[:, :, None]).sum(axis=1).astype(jnp.bfloat16)
+
     xh = jnp.concatenate(
         [emb_s[:].astype(jnp.float32), ctx, h], axis=-1
     ).astype(jnp.bfloat16)                                   # [B, E+2H]
@@ -205,90 +206,113 @@ def _rollout_kernel(
     h_s[:] = h_new
     h_bf = h_new.astype(jnp.bfloat16)
 
-    # ---- 4. streamed vocab projection with running select/lse ----------------
-    best_noisy_s[:] = jnp.full_like(best_noisy_s[:], NEG)
-    best_clean_s[:] = jnp.zeros_like(best_clean_s[:])
-    best_idx_s[:] = jnp.zeros_like(best_idx_s[:])
-    m_s[:] = jnp.full_like(m_s[:], NEG)
-    s_s[:] = jnp.zeros_like(s_s[:])
+    # ---- 4. vocab projection + select ----------------------------------------
+    inv_t0 = 1.0 / temperature
 
-    def wout_dma(j, slot):
-        return pltpu.make_async_copy(
-            wout_hbm.at[:, pl.ds(j * TILE, TILE)],
-            wout_buf.at[slot],
-            wout_sems.at[slot],
-        )
+    def gumbel_noise(clean, col_base, cols):
+        row = jax.lax.broadcasted_iota(jnp.uint32, clean.shape, 0)
+        colu = (jax.lax.broadcasted_iota(jnp.uint32, clean.shape, 1)
+                + jnp.uint32(col_base))
+        x = ((row * jnp.uint32(0x9E3779B9))
+             ^ (colu * jnp.uint32(0x85EBCA6B))
+             ^ (seed_ref[0, 0].astype(jnp.uint32) * jnp.uint32(0x27D4EB2F)
+                + t_step.astype(jnp.uint32) * jnp.uint32(0x165667B1)))
+        x = x ^ (x >> 16)
+        x = x * jnp.uint32(0x7FEB352D)
+        x = x ^ (x >> 15)
+        x = x * jnp.uint32(0x846CA68B)
+        x = x ^ (x >> 16)
+        uni = (x >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
+        return clean - jnp.log(-jnp.log(uni))
 
-    wout_dma(0, 0).start()
-    inv_t = 1.0 / temperature
+    if resident:
+        # single-shot: one MXU matmul over the full vocab + one argmax/lse —
+        # no tile loop (W_out and the [B, Vp] logits both fit VMEM on v5e)
+        logits_full = (jnp.dot(h_bf, wout_hbm[:],
+                               preferred_element_type=jnp.float32
+                               ).astype(jnp.bfloat16)
+                       + bout_ref[:].astype(jnp.bfloat16)
+                       ).astype(jnp.float32)                  # [B, Vp]
+        colf = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
+        clean_full = jnp.where(colf < vocab_size, logits_full * inv_t0, NEG)
+        noisy_full = (gumbel_noise(clean_full, 0, Vp) if sample
+                      else clean_full)
+        m_full = jnp.max(clean_full, axis=-1, keepdims=True)
+        lse_full = m_full + jnp.log(jnp.sum(jnp.exp(clean_full - m_full),
+                                            axis=-1, keepdims=True))
+        n_arg = jnp.argmax(noisy_full, axis=-1)[:, None]      # [B, 1]
+        c_win = jnp.max(jnp.where(colf == n_arg, clean_full, NEG),
+                        axis=-1, keepdims=True)
+        best_idx_s[:, 0:1] = n_arg.astype(jnp.int32)
+        best_clean_s[:, 0:1] = c_win
+        m_s[:, 0:1] = lse_full            # store lse directly
+        s_s[:, 0:1] = jnp.ones_like(lse_full)
 
-    def tile_body(j, _):
-        slot = j % 2
+    if not resident:
+        # streamed variant (vocabularies too large for VMEM residency):
+        # double-buffered W_out tiles + running argmax/lse
+        best_noisy_s[:] = jnp.full_like(best_noisy_s[:], NEG)
+        best_clean_s[:] = jnp.zeros_like(best_clean_s[:])
+        best_idx_s[:] = jnp.zeros_like(best_idx_s[:])
+        m_s[:] = jnp.full_like(m_s[:], NEG)
+        s_s[:] = jnp.zeros_like(s_s[:])
 
-        @pl.when(j + 1 < n_tiles)
-        def _():
-            wout_dma(j + 1, (j + 1) % 2).start()
+        def wout_dma(j, slot):
+            return pltpu.make_async_copy(
+                wout_hbm.at[:, pl.ds(j * TILE, TILE)],
+                wout_buf.at[slot],
+                wout_sems.at[slot],
+            )
 
-        wout_dma(j, slot).wait()
-        # mirror flax Dense(dtype=bf16): matmul rounded to bf16, bias added in
-        # bf16, THEN upcast to f32 (models/decoder._step_from_emb)
-        logits = (jnp.dot(h_bf, wout_buf[slot],
-                          preferred_element_type=jnp.float32
-                          ).astype(jnp.bfloat16)
-                  + bout_ref[0, pl.ds(j * TILE, TILE)][None, :]
-                  .astype(jnp.bfloat16)).astype(jnp.float32)      # [B, TILE]
-        # mask padded vocab ids
-        col = jax.lax.broadcasted_iota(jnp.int32, (B, TILE), 1) + j * TILE
-        clean = jnp.where(col < vocab_size, logits * inv_t, NEG)
+        wout_dma(0, 0).start()
 
-        if sample:
-            # counter-based hash RNG keyed on (seed, step, row, vocab col):
-            # backend-independent (works in interpret mode AND Mosaic) and
-            # reproducible for a given seed — murmur3-style finalizer
-            row = jax.lax.broadcasted_iota(jnp.uint32, (B, TILE), 0)
-            colu = col.astype(jnp.uint32)
-            x = ((row * jnp.uint32(0x9E3779B9))
-                 ^ (colu * jnp.uint32(0x85EBCA6B))
-                 ^ (seed_ref[0, 0].astype(jnp.uint32)
-                    * jnp.uint32(0x27D4EB2F)
-                    + t_step.astype(jnp.uint32) * jnp.uint32(0x165667B1)))
-            x = x ^ (x >> 16)
-            x = x * jnp.uint32(0x7FEB352D)
-            x = x ^ (x >> 15)
-            x = x * jnp.uint32(0x846CA68B)
-            x = x ^ (x >> 16)
-            uni = ((x >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
-                   + 1e-12)
-            noisy = clean - jnp.log(-jnp.log(uni))
-        else:
-            noisy = clean
+        def tile_body(j, _):
+            slot = j % 2
 
-        # running logsumexp over clean logits
-        t_max = jnp.max(clean, axis=-1, keepdims=True)            # [B, 1]
-        m_old = m_s[:, 0:1]
-        m_new = jnp.maximum(m_old, t_max)
-        s_s[:, 0:1] = (s_s[:, 0:1] * jnp.exp(m_old - m_new)
-                       + jnp.sum(jnp.exp(clean - m_new), axis=-1,
-                                 keepdims=True))
-        m_s[:, 0:1] = m_new
+            @pl.when(j + 1 < n_tiles)
+            def _():
+                wout_dma(j + 1, (j + 1) % 2).start()
 
-        # running (noisy) argmax; record the CLEAN logit of the winner
-        # (mask-max select instead of take_along_axis — Mosaic's gather
-        # lowering only supports full-shape index arrays)
-        n_max = jnp.max(noisy, axis=-1, keepdims=True)
-        n_arg = jnp.argmax(noisy, axis=-1)[:, None]               # [B, 1]
-        local = jax.lax.broadcasted_iota(jnp.int32, (B, TILE), 1)
-        c_of_win = jnp.max(jnp.where(local == n_arg, clean, NEG),
-                           axis=-1, keepdims=True)
-        better = n_max > best_noisy_s[:, 0:1]
-        best_noisy_s[:, 0:1] = jnp.where(better, n_max, best_noisy_s[:, 0:1])
-        best_clean_s[:, 0:1] = jnp.where(better, c_of_win,
-                                         best_clean_s[:, 0:1])
-        best_idx_s[:, 0:1] = jnp.where(
-            better, n_arg.astype(jnp.int32) + j * TILE, best_idx_s[:, 0:1])
-        return 0
+            wout_dma(j, slot).wait()
+            # mirror flax Dense(dtype=bf16): matmul rounded to bf16, bias in
+            # bf16, THEN upcast to f32 (models/decoder._step_from_emb)
+            logits = (jnp.dot(h_bf, wout_buf[slot],
+                              preferred_element_type=jnp.float32
+                              ).astype(jnp.bfloat16)
+                      + bout_ref[0, pl.ds(j * TILE, TILE)][None, :]
+                      .astype(jnp.bfloat16)).astype(jnp.float32)  # [B, TILE]
+            col = jax.lax.broadcasted_iota(jnp.int32, (B, TILE), 1) + j * TILE
+            clean = jnp.where(col < vocab_size, logits * inv_t0, NEG)
+            noisy = gumbel_noise(clean, j * TILE, TILE) if sample else clean
 
-    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+            # running logsumexp over clean logits
+            t_max = jnp.max(clean, axis=-1, keepdims=True)        # [B, 1]
+            m_old = m_s[:, 0:1]
+            m_new = jnp.maximum(m_old, t_max)
+            s_s[:, 0:1] = (s_s[:, 0:1] * jnp.exp(m_old - m_new)
+                           + jnp.sum(jnp.exp(clean - m_new), axis=-1,
+                                     keepdims=True))
+            m_s[:, 0:1] = m_new
+
+            # running (noisy) argmax; record the CLEAN logit of the winner
+            # (mask-max select instead of take_along_axis — Mosaic's gather
+            # lowering only supports full-shape index arrays)
+            n_max = jnp.max(noisy, axis=-1, keepdims=True)
+            n_arg = jnp.argmax(noisy, axis=-1)[:, None]           # [B, 1]
+            local = jax.lax.broadcasted_iota(jnp.int32, (B, TILE), 1)
+            c_of_win = jnp.max(jnp.where(local == n_arg, clean, NEG),
+                               axis=-1, keepdims=True)
+            better = n_max > best_noisy_s[:, 0:1]
+            best_noisy_s[:, 0:1] = jnp.where(better, n_max,
+                                             best_noisy_s[:, 0:1])
+            best_clean_s[:, 0:1] = jnp.where(better, c_of_win,
+                                             best_clean_s[:, 0:1])
+            best_idx_s[:, 0:1] = jnp.where(
+                better, n_arg.astype(jnp.int32) + j * TILE,
+                best_idx_s[:, 0:1])
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
     # ---- 5. finalize token / logp / mask --------------------------------------
     finished = fin_s[0:B, 0:1]                                    # f32[B, 1]
@@ -319,6 +343,7 @@ def pallas_rollout(
     seed: int | Array = 0,
     temperature: float = 1.0,
     interpret: bool = False,
+    resident_wout: bool = True,
 ) -> Tuple[Array, Array, Array]:
     """Run the fused rollout. Returns (tokens i32[B, L], logp f32[B, L],
     mask f32[B, L]) with the same semantics as models/decoding greedy/sample."""
@@ -338,14 +363,20 @@ def pallas_rollout(
             + 2 * H * TILE * 2           # W_out double buffer
             + B * (2 * H * 4 + E * 2 + 8 * E * 2 + 6 * 128 * 4)  # state/scratch
             + Vp * 4)                    # b_out
-    if not interpret and vmem > 14 * 1024 * 1024:
+    if resident_wout:
+        vmem += H * Vp * 2 + Vp * E * 2  # W_out + embedding table resident
+        vmem += B * Vp * 4               # single-shot logits buffer
+    budget = (100 if resident_wout else 15) * 1024 * 1024
+    if not interpret and vmem > budget:
         raise ValueError(
             f"pallas_rollout VMEM estimate {vmem/1e6:.1f}MB exceeds budget; "
-            f"reduce batch (B={B}) or frames (T={T})")
+            f"reduce batch (B={B}) or frames (T={T}), or set "
+            f"resident_wout=False to stream W_out from HBM")
 
     kern = functools.partial(
         _rollout_kernel, B=B, E=E, H=H, A=A, T=T, Vp=Vp, TILE=TILE,
-        vocab_size=vocab_size, sample=sample, temperature=float(temperature))
+        vocab_size=vocab_size, sample=sample, temperature=float(temperature),
+        resident=resident_wout)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -362,8 +393,10 @@ def pallas_rollout(
             pl.BlockSpec(memory_space=pltpu.VMEM),    # wq
             pl.BlockSpec(memory_space=pltpu.VMEM),    # u
             pl.BlockSpec(memory_space=pltpu.VMEM),    # b_out
-            pl.BlockSpec(memory_space=pltpu.HBM),     # emb (stays in HBM)
-            pl.BlockSpec(memory_space=pltpu.HBM),     # w_out (streamed tiles)
+            pl.BlockSpec(memory_space=(pltpu.VMEM if resident_wout
+                                       else pltpu.HBM)),  # emb table
+            pl.BlockSpec(memory_space=(pltpu.VMEM if resident_wout
+                                       else pltpu.HBM)),  # w_out
         ],
         out_specs=[
             # full arrays resident in VMEM across the sequential grid (tiny:
@@ -385,7 +418,7 @@ def pallas_rollout(
             pltpu.VMEM((B, 128), jnp.float32),        # m
             pltpu.VMEM((B, 128), jnp.float32),        # s
             pltpu.VMEM((2, H, TILE), jnp.bfloat16),   # wout double buffer
-            pltpu.SemaphoreType.DMA((DMA_WAVE,)),
+            pltpu.SemaphoreType.DMA((B,)),            # per-row gather sems
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -398,7 +431,9 @@ def pallas_rollout(
             jax.ShapeDtypeStruct((max_len, B), jnp.float32),
             jax.ShapeDtypeStruct((max_len, B), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=(100 * 1024 * 1024 if resident_wout else None)),
         interpret=interpret,
     )(
         jnp.asarray(seed, jnp.int32).reshape(1, 1),
