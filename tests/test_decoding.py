@@ -140,3 +140,38 @@ def test_beam_batch_independence():
     t2, s2 = beam_decode(step_fn, jnp.zeros((1 * 2,)), batch=1, max_len=4,
                          beam_width=2, vocab_size=V)
     np.testing.assert_array_equal(np.asarray(t1)[0], np.asarray(t2)[0])
+
+
+def test_per_row_topk_iterative_matches_lax():
+    from vidcap_tpu.models.decoding import per_row_topk_iterative
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(16, 300)), jnp.float32)
+    rv, ri = jax.lax.top_k(x, 5)
+    v, i = per_row_topk_iterative(x, 5)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(rv), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+
+def test_beam_iterative_topk_same_result(tiny_cfg):
+    from vidcap_tpu.models.model import create_model, init_params, VidCapModel
+    from vidcap_tpu.models.decoding import tile_recurrent
+    model = create_model(tiny_cfg, vocab_size=100)
+    params = init_params(model, tiny_cfg, jax.random.key(9))
+    B, K = 4, 3
+    rng = np.random.default_rng(5)
+    feats = jnp.asarray(rng.normal(size=(B, tiny_cfg.data.num_frames,
+                                         tiny_cfg.data.feature_dim)),
+                        jnp.float32)
+    state = model.apply({"params": params}, feats,
+                        method=VidCapModel.init_state)
+
+    def bs(st, tok):
+        return model.apply({"params": params}, st, tok, K,
+                           method=VidCapModel.step_beam)
+
+    t1, s1 = beam_decode(bs, tile_recurrent(state, K), batch=B, max_len=7,
+                         beam_width=K, vocab_size=256, topk_impl="lax")
+    t2, s2 = beam_decode(bs, tile_recurrent(state, K), batch=B, max_len=7,
+                         beam_width=K, vocab_size=256, topk_impl="iterative")
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)

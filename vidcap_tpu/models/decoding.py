@@ -100,9 +100,28 @@ def sample_decode(step_fn, state, batch: int, max_len: int, rng: Array,
 
 # --------------------------------------------------------------------------- beam
 
+def per_row_topk_iterative(x: Array, k: int) -> Tuple[Array, Array]:
+    """Per-row top-k by k max-extract passes — elementwise/reduce ops only.
+    ``lax.top_k`` over a wide vocab axis is the single most expensive op in the
+    beam step on TPU; k sequential (max, argmax, mask) passes fuse into cheap
+    VPU sweeps. Ties resolve to the smallest index, like lax.top_k."""
+    V = x.shape[-1]
+    col = jnp.arange(V)[None, :]
+    cur = x
+    vals, idxs = [], []
+    for _ in range(k):
+        m = cur.max(-1)
+        a = cur.argmax(-1).astype(jnp.int32)
+        vals.append(m)
+        idxs.append(a)
+        cur = jnp.where(col == a[:, None], -jnp.inf, cur)
+    return jnp.stack(vals, -1), jnp.stack(idxs, -1)
+
+
 def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
                 vocab_size: int, length_penalty: float = 0.0,
-                recurrent_only_gather: bool = True) -> Tuple[Array, Array]:
+                recurrent_only_gather: bool = True,
+                topk_impl: str = "iterative") -> Tuple[Array, Array]:
     """Batched beam search fully on-device (SURVEY.md C11, §3.3 "TPU build").
 
     The B×K beams are flattened into the batch dimension so every step is one
@@ -154,7 +173,10 @@ def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
         # global top-K, so results are identical (up to tie order); per step
         # this saves ~2 HBM sweeps of the [B·K, V] buffer.
         lse = jax.scipy.special.logsumexp(logits, axis=-1)  # [B*K]
-        tv, ti = jax.lax.top_k(logits, K)                   # [B*K, K]
+        if topk_impl == "iterative":
+            tv, ti = per_row_topk_iterative(logits, K)      # [B*K, K]
+        else:
+            tv, ti = jax.lax.top_k(logits, K)               # [B*K, K]
         logp_k = (tv - lse[:, None]).reshape(B, K, K)
         idx_k = ti.reshape(B, K, K).astype(jnp.int32)
 
