@@ -19,9 +19,6 @@ import json
 import sys
 from typing import Optional
 
-import jax
-import numpy as np
-
 from vidcap_tpu.config import Config, get_preset
 
 

@@ -6,7 +6,7 @@ The five BASELINE.json ``configs`` ship as named presets (SURVEY.md §5 "Config/
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 
 def _round_up(x: int, m: int) -> int:
@@ -77,6 +77,9 @@ class TrainConfig:
     # SCST / RL
     scst_reward: str = "cider"            # cider | cider_bleu
     bleu_mix: float = 0.0                 # weight of BLEU4 in mixed reward
+    scst_learning_rate: Optional[float] = None  # policy-gradient fine-tuning LR
+    #   (defaults to learning_rate/20 — SCST at the XE rate collapses policies)
+    scst_xe_mix: float = 0.0              # λ·XE anchor added to the PG loss
     # multitask
     attribute_loss_weight: float = 0.0    # >0 enables the auxiliary attribute head
     # checkpointing
@@ -165,7 +168,8 @@ PRESETS = {
         data=dict(dataset="msrvtt"),
         model=dict(use_attention=True),
         decode=dict(method="sample"),
-        train=dict(stage="scst", batch_size=32, learning_rate=5e-5,
+        train=dict(stage="scst", batch_size=32, learning_rate=1e-4,
+                   scst_learning_rate=5e-5, scst_xe_mix=0.1,
                    scst_reward="cider", attribute_loss_weight=0.2),
     ),
     # tiny synthetic preset used by tests / CI and the benchmark's warm-up path
@@ -176,7 +180,7 @@ PRESETS = {
         model=dict(embed_dim=32, hidden_dim=32, attn_dim=32),
         decode=dict(max_len=12),
         train=dict(batch_size=4, num_steps=20, log_every=5, checkpoint_every=10,
-                   learning_rate=3e-3),
+                   learning_rate=3e-3, scst_xe_mix=0.1),
     ),
 }
 

@@ -8,7 +8,7 @@ across training captions → per-video multi-hot vector.
 from __future__ import annotations
 
 from collections import Counter
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import json
 import os
 from functools import partial
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -6,8 +6,7 @@ reference pays a host↔device round-trip per token (SURVEY.md §3.3).
 from __future__ import annotations
 
 import time
-from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -16,7 +15,7 @@ import numpy as np
 from vidcap_tpu.config import Config
 from vidcap_tpu.data.loader import CaptionDataset
 from vidcap_tpu.models.decoding import (beam_decode, greedy_decode,
-                                        sample_decode, tile_state)
+                                        sample_decode)
 from vidcap_tpu.models.model import VidCapModel, create_model, init_params
 
 

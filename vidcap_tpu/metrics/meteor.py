@@ -11,7 +11,6 @@ deliberate device non-goal). Two backends:
 """
 from __future__ import annotations
 
-import math
 import os
 import shutil
 import subprocess

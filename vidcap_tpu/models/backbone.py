@@ -18,8 +18,7 @@ warns (offline image has no weights asset).
 from __future__ import annotations
 
 import os
-from functools import partial
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -6,7 +6,6 @@ multi-hot targets, weighted into the total loss by ``train.attribute_loss_weight
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import optax
 
 Array = jax.Array

@@ -18,7 +18,7 @@ entries → one [B, 4L, R·G] masked-equality contraction on the VPU.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

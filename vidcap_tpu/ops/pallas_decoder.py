@@ -8,20 +8,20 @@ ONE ``pallas_call`` runs the ENTIRE greedy / multinomial rollout:
   finished flags) persists across steps with zero HBM round-trips for state.
 
 Per step, entirely on-chip:
-  1. embedding lookup — per-row async DMA gathers from the HBM table (wave-pipelined)
+  1. embedding lookup — aligned 8-row blocks + one-hot select (resident mode:
+     direct VMEM loads; streamed mode: all-in-flight DMAs overlapped with #2)
   2. temporal attention — scores = u·tanh(keys + h·Wq), masked softmax, context
   3. LSTM — fused-gate matmul [emb; ctx; h] @ W on the MXU
-  4. vocab projection — W_out streamed from HBM in lane-aligned tiles with a
-     double-buffered DMA pipeline; the [B, V] logits are NEVER materialized:
-     a running (noisy-)argmax + running logsumexp fold each tile on the fly
-  5. token select — greedy (argmax) or multinomial via the Gumbel-max trick
-     (argmax of logits/T + Gumbel noise from the on-core PRNG); the recorded
-     log-prob is the CLEAN log-softmax of the selected token
+  4. vocab projection + select — resident mode (default): single-shot matmul
+     over the VMEM-resident W_out then argmax / Gumbel-max / logsumexp;
+     streamed mode: W_out double-buffered from HBM in lane-aligned tiles with
+     running folds, so [B, V] logits never materialize (for models whose
+     weights exceed VMEM)
+  5. recorded log-prob is the CLEAN log-softmax of the selected token
 
-HBM traffic per decode step ≈ one sweep of W_out (the information-theoretic floor —
-every step must consult the whole output projection) + the gathered embedding rows.
-Compare the XLA scan path, which additionally materializes [B, V] logits to HBM and
-re-reads them for argmax/sample.
+Honest status (ARCHITECTURE.md "measured reality"): on v5e this model fits
+VMEM entirely and XLA's scan is ~25% faster, so the flag default is off; the
+kernel is the winning design when the vocab projection cannot stay resident.
 
 Used by inference (greedy/sample) and the SCST rollouts; gradients for SCST come
 from an XLA teacher-forced re-score of the sampled tokens (train/scst.py), so the
@@ -31,7 +31,7 @@ kernel is forward-only. Fallback: models/decoding.py XLA path (flag
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ import numpy as np
 
 from vidcap_tpu.config import Config
 from vidcap_tpu.data.loader import Batch, CaptionDataset
-from vidcap_tpu.models.model import VidCapModel, create_model, init_params
+from vidcap_tpu.models.model import create_model, init_params
 from vidcap_tpu.train.checkpoint import CheckpointManager
 from vidcap_tpu.train.state import TrainState, create_train_state
 from vidcap_tpu.train.steps import make_xe_step

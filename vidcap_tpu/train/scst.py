@@ -83,6 +83,16 @@ def make_scst_step(model: VidCapModel, cfg: Config, dataset=None,
                           greedy.mask, bleu_mix)
 
         loss, metrics = scst_loss(sample, r_s, r_g)
+        if cfg.train.scst_xe_mix > 0:
+            # XE anchor on the ground-truth captions: keeps the policy tied to
+            # the data distribution while the PG term optimizes CIDEr
+            from vidcap_tpu.objectives.xe import masked_xe_loss, shift_right
+            logits = model.apply({"params": params}, feats, None,
+                                 shift_right(batch["tokens"]),
+                                 method=VidCapModel.xe_logits)
+            xe, _ = masked_xe_loss(logits, batch["tokens"], batch["mask"])
+            loss = loss + cfg.train.scst_xe_mix * xe
+            metrics["xe_anchor"] = xe
         if attr_w > 0:
             attr = model.apply({"params": params}, feats,
                                method=VidCapModel.attribute_logits)

@@ -5,6 +5,7 @@ an optax chain and a flax struct the jitted steps thread through with buffer don
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Optional
 
 import flax.struct
@@ -34,6 +35,12 @@ class TrainState:
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     t = cfg.train
+    if t.stage == "scst":
+        # policy-gradient fine-tuning needs a much smaller LR than XE; the
+        # XE rate demonstrably collapses a trained policy (SURVEY.md C13)
+        lr = (t.scst_learning_rate if t.scst_learning_rate is not None
+              else t.learning_rate / 20.0)
+        t = dataclasses.replace(t, learning_rate=lr)
     if t.warmup_steps > 0:
         schedule = optax.schedules.warmup_constant_schedule(
             0.0, t.learning_rate, t.warmup_steps) if hasattr(

@@ -9,8 +9,6 @@ import sys
 import time
 from typing import Dict, Optional
 
-import jax
-
 
 def _to_float(v) -> float:
     if hasattr(v, "item"):
