@@ -120,10 +120,12 @@ def bench_train(cfg, model, params, B=64, iters=10):
 
     out = {}
     for stage, maker in (("xe", None), ("scst", None)):
+        # match the production scst_cider preset: xe anchor + attribute head on
         scfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, stage=stage,
                                            batch_size=B,
                                            attribute_loss_weight=0.2,
+                                           scst_xe_mix=0.1,
                                            donate_state=False))
         if stage == "xe":
             step = make_xe_step(bench_model, scfg)

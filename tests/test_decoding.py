@@ -175,29 +175,3 @@ def test_beam_iterative_topk_same_result(tiny_cfg):
                          beam_width=K, vocab_size=256, topk_impl="iterative")
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
-
-
-def test_beam_bf16_topk_same_result(tiny_cfg):
-    from vidcap_tpu.models.model import create_model, init_params, VidCapModel
-    from vidcap_tpu.models.decoding import tile_recurrent
-    model = create_model(tiny_cfg, vocab_size=100)
-    params = init_params(model, tiny_cfg, jax.random.key(11))
-    B, K = 4, 3
-    rng = np.random.default_rng(6)
-    feats = jnp.asarray(rng.normal(size=(B, tiny_cfg.data.num_frames,
-                                         tiny_cfg.data.feature_dim)),
-                        jnp.float32)
-    state = model.apply({"params": params}, feats,
-                        method=VidCapModel.init_state)
-
-    def bs(st, tok):
-        return model.apply({"params": params}, st, tok, K,
-                           method=VidCapModel.step_beam)
-
-    t1, s1 = beam_decode(bs, tile_recurrent(state, K), batch=B, max_len=7,
-                         beam_width=K, vocab_size=256, topk_impl="lax")
-    t2, s2 = beam_decode(bs, tile_recurrent(state, K), batch=B, max_len=7,
-                         beam_width=K, vocab_size=256,
-                         topk_impl="iterative_bf16")
-    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
-    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)

@@ -37,17 +37,21 @@ def test_scst_step_runs_and_improves(tiny_cfg, tiny_dataset):
     cfg = dataclasses.replace(
         tiny_cfg,
         train=dataclasses.replace(tiny_cfg.train, stage="scst",
-                                  learning_rate=1e-3, batch_size=8))
+                                  learning_rate=3e-3,
+                                  scst_learning_rate=1e-3, batch_size=8))
     model = create_model(cfg, vocab_size=tiny_dataset.vocab.size)
     params = init_params(model, cfg, jax.random.key(0))
-    state = create_train_state(cfg, params)
 
-    # XE pretrain so rollouts aren't pure noise
-    xe = make_xe_step(model, dataclasses.replace(
-        cfg, train=dataclasses.replace(cfg.train, learning_rate=3e-3)))
+    # XE pretrain so rollouts aren't pure noise — its OWN optimizer state at
+    # the XE rate (the optimizer LR lives in state.tx, not in the step's cfg)
+    xe_cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, stage="xe"))
+    xe_state = create_train_state(xe_cfg, params)
+    xe = make_xe_step(model, xe_cfg)
     it = tiny_dataset.batches(8, seed=0)
     for _ in range(40):
-        state, _ = xe(state, batch_to_device_dict(next(it)))
+        xe_state, _ = xe(xe_state, batch_to_device_dict(next(it)))
+    state = create_train_state(cfg, xe_state.params)
 
     cider_before = _greedy_cider(cfg, tiny_dataset, state.params)
 

@@ -174,15 +174,11 @@ def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
         lse = jax.scipy.special.logsumexp(logits, axis=-1)  # [B*K]
         if topk_impl == "iterative":
             tv, ti = per_row_topk_iterative(logits, K)      # [B*K, K]
-        elif topk_impl == "iterative_bf16":
-            # the decoder's logits are exact bf16 values upcast to f32
-            # (bf16-rounded matmul + bf16 bias, models/decoder.py), so ranking
-            # in bf16 is LOSSLESS and halves the sweep traffic; the selected
-            # values are re-gathered from the f32 buffer
-            _, ti = per_row_topk_iterative(logits.astype(jnp.bfloat16), K)
-            tv = jnp.take_along_axis(logits, ti, axis=-1)
         else:
             tv, ti = jax.lax.top_k(logits, K)               # [B*K, K]
+        # (a bf16-ranked variant was measured SLOWER — the [N,V] cast
+        # materialization outweighs the halved sweep traffic — and is only
+        # lossless when compute_dtype is bf16, so it was removed)
         logp_k = (tv - lse[:, None]).reshape(B, K, K)
         idx_k = ti.reshape(B, K, K).astype(jnp.int32)
 

@@ -37,9 +37,17 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     t = cfg.train
     if t.stage == "scst":
         # policy-gradient fine-tuning needs a much smaller LR than XE; the
-        # XE rate demonstrably collapses a trained policy (SURVEY.md C13)
-        lr = (t.scst_learning_rate if t.scst_learning_rate is not None
-              else t.learning_rate / 20.0)
+        # XE rate demonstrably collapses a trained policy (SURVEY.md C13).
+        # The implicit /20 default is announced loudly so configs written
+        # against "learning_rate IS the SCST rate" aren't silently retuned.
+        if t.scst_learning_rate is not None:
+            lr = t.scst_learning_rate
+        else:
+            lr = t.learning_rate / 20.0
+            import sys
+            print(f"[vidcap] SCST stage: scst_learning_rate unset — using "
+                  f"learning_rate/20 = {lr:g} (set train.scst_learning_rate "
+                  f"to override)", file=sys.stderr)
         t = dataclasses.replace(t, learning_rate=lr)
     if t.warmup_steps > 0:
         schedule = optax.schedules.warmup_constant_schedule(
