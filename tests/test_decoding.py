@@ -175,3 +175,20 @@ def test_beam_iterative_topk_same_result(tiny_cfg):
                          beam_width=K, vocab_size=256, topk_impl="iterative")
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+
+def test_early_exit_matches_scan(bound_model):
+    """while_loop early-exit rollout ≡ the static scan rollout, token-for-token."""
+    step_fn, make_state, cfg = bound_model
+    B = 4
+    feats = jnp.asarray(np.random.default_rng(12).normal(
+        size=(B, cfg.data.num_frames, cfg.data.feature_dim)), jnp.float32)
+    scan_roll = greedy_decode(step_fn, make_state(feats), B, max_len=10)
+    ee_roll = greedy_decode(step_fn, make_state(feats), B, max_len=10,
+                            early_exit=True)
+    np.testing.assert_array_equal(np.asarray(scan_roll.tokens),
+                                  np.asarray(ee_roll.tokens))
+    np.testing.assert_array_equal(np.asarray(scan_roll.mask),
+                                  np.asarray(ee_roll.mask))
+    np.testing.assert_allclose(np.asarray(scan_roll.logp),
+                               np.asarray(ee_roll.logp), rtol=1e-6)

@@ -59,6 +59,8 @@ class DecodeConfig:
     max_len: int = 30
     length_penalty: float = 0.0           # 0 = raw logprob (reference-style)
     temperature: float = 1.0
+    early_exit: bool = True               # greedy serving: stop at all-<eos>
+    #   (while_loop; training rollouts always use the static scan)
 
 
 @dataclasses.dataclass(frozen=True)

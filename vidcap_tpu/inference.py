@@ -87,12 +87,13 @@ class Captioner:
                     lambda p, f: model_rollout(
                         self.model, p, f, max_len=self.max_len).tokens))
                 return np.asarray(fn(self.params, feats))
-            fn = self._get(("greedy", B), lambda: jax.jit(
+            ee = self.cfg.decode.early_exit
+            fn = self._get(("greedy", B, ee), lambda: jax.jit(
                 lambda p, f: greedy_decode(
                     self._step_fn(p),
                     self.model.apply({"params": p}, f,
                                      method=VidCapModel.init_state),
-                    B, self.max_len).tokens))
+                    B, self.max_len, early_exit=ee).tokens))
             return np.asarray(fn(self.params, feats))
 
         if method == "sample":

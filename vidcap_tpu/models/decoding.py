@@ -61,15 +61,53 @@ def _rollout(step_fn, state, batch: int, max_len: int,
     return Rollout(tokens=toks.T, logp=logps.T, mask=masks.T)
 
 
-def greedy_decode(step_fn, state, batch: int, max_len: int) -> Rollout:
-    """Argmax rollout to <eos>/max_len (SURVEY.md C9); SCST baseline path."""
+def greedy_decode(step_fn, state, batch: int, max_len: int,
+                  early_exit: bool = False) -> Rollout:
+    """Argmax rollout to <eos>/max_len (SURVEY.md C9); SCST baseline path.
+
+    early_exit=True uses ``lax.while_loop`` and stops the moment every row has
+    emitted <eos> — for a converged captioner (mean length ~10 ≪ max_len 30)
+    that's ~3× fewer decode steps. Training rollouts keep the static scan
+    (fixed cost, better pipelining); serving can opt in."""
 
     def select(logits, key):
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         logp = jax.nn.log_softmax(logits, axis=-1)
         return tok, jnp.take_along_axis(logp, tok[:, None], axis=-1)[:, 0]
 
+    if early_exit:
+        return _rollout_while(step_fn, state, batch, max_len, select)
     return _rollout(step_fn, state, batch, max_len, select)
+
+
+def _rollout_while(step_fn, state, batch: int, max_len: int,
+                   select_fn) -> Rollout:
+    """Early-exit rollout: identical semantics to :func:`_rollout`, but the
+    loop ends as soon as all rows are finished (all-finished ``psum`` check)."""
+    toks0 = jnp.zeros((batch, max_len), jnp.int32)
+    logp0 = jnp.zeros((batch, max_len), jnp.float32)
+    mask0 = jnp.zeros((batch, max_len), jnp.float32)
+
+    def cond(carry):
+        t, _, _, finished, _, _, _ = carry
+        return (t < max_len) & ~finished.all()
+
+    def body(carry):
+        t, st, prev_tok, finished, toks, logps, masks = carry
+        st, logits = step_fn(st, prev_tok)
+        tok, logp = select_fn(logits, None)
+        tok = jnp.where(finished, PAD, tok)
+        logp = jnp.where(finished, 0.0, logp)
+        step_mask = 1.0 - finished.astype(jnp.float32)
+        toks = toks.at[:, t].set(tok)
+        logps = logps.at[:, t].set(logp)
+        masks = masks.at[:, t].set(step_mask)
+        return (t + 1, st, tok, finished | (tok == EOS), toks, logps, masks)
+
+    init = (jnp.int32(0), state, jnp.full((batch,), BOS, jnp.int32),
+            jnp.zeros((batch,), bool), toks0, logp0, mask0)
+    _, _, _, _, toks, logps, masks = jax.lax.while_loop(cond, body, init)
+    return Rollout(tokens=toks, logp=logps, mask=masks)
 
 
 def sample_decode(step_fn, state, batch: int, max_len: int, rng: Array,
