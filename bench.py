@@ -44,7 +44,9 @@ def bench_beam_captions_per_sec(batch_size: int = 128, iters: int = 8,
         state = tile_recurrent(state, K)
 
         def beam_step(st, tok):
-            return model.apply({"params": p}, st, tok, K,
+            # keep_compute_dtype=True: logits stay bf16 (the Dense output
+            # dtype) — bit-identical beams, half the top-k sweep traffic
+            return model.apply({"params": p}, st, tok, K, True,
                                method=VidCapModel.step_beam)
 
         toks, _ = beam_decode(beam_step, state, batch=B,

@@ -17,16 +17,19 @@ def run(impl, B=128, iters=8):
     rng = np.random.default_rng(0)
     K = 5
 
+    bf16_logits = impl.endswith("-bf16")
+    topk = impl.removesuffix("-bf16")
+
     def decode(p, f):
         st = tile_recurrent(model.apply({"params": p}, f,
                                         method=VidCapModel.init_state), K)
 
         def sb(s, tok):
-            return model.apply({"params": p}, s, tok, K,
+            return model.apply({"params": p}, s, tok, K, bf16_logits,
                                method=VidCapModel.step_beam)
 
         return beam_decode(sb, st, batch=B, max_len=30, beam_width=K,
-                           vocab_size=16_000, topk_impl=impl)[0]
+                           vocab_size=16_000, topk_impl=topk)[0]
 
     stacked = jnp.asarray(rng.normal(size=(iters, B, T, D)), jnp.float32)
 

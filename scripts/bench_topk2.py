@@ -1,0 +1,103 @@
+"""top-k variant timing, long in-jit scans (dispatch overhead amortized away).
+PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_topk2.py"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPS = 2000
+
+
+def main(N=640, V=16_000, K=5):
+    from vidcap_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(N, V)), jnp.float32)
+
+    def timeit(name, fn):
+        def body(c, _):
+            tv, ti = fn(c)
+            return c + (tv.sum() + ti.sum().astype(jnp.float32)) * 1e-12, None
+
+        f = jax.jit(lambda x0: jax.lax.scan(body, x0, jnp.arange(REPS))[0])
+        np.asarray(f(logits))
+        t0 = time.time()
+        np.asarray(f(logits))
+        per = (time.time() - t0) / REPS
+        print(f"{name:28s} {per*1e6:8.1f} us", flush=True)
+
+    timeit("lax.top_k", lambda x: jax.lax.top_k(x, K))
+
+    def iterative(x):
+        cur = x
+        vals, idxs = [], []
+        col = jnp.arange(V)[None, :]
+        for _ in range(K):
+            m = cur.max(-1)
+            a = cur.argmax(-1)
+            vals.append(m)
+            idxs.append(a)
+            cur = jnp.where(col == a[:, None], -1e30, cur)
+        return jnp.stack(vals, -1), jnp.stack(idxs, -1)
+
+    timeit("iterative extract", iterative)
+
+    def two_stage(x, G=125):
+        xg = x.reshape(N, G, V // G)
+        tv, ti = jax.lax.top_k(xg, K)                     # [N, G, K]
+        base = (jnp.arange(G) * (V // G))[None, :, None]
+        fv, fi = jax.lax.top_k(tv.reshape(N, G * K), K)
+        gidx = (ti + base).reshape(N, G * K)
+        return fv, jnp.take_along_axis(gidx, fi, axis=-1)
+
+    timeit("two-stage top_k", two_stage)
+
+    def two_stage_iter(x, G=125):
+        """chunk maxima in ONE sweep, then K iterative extracts on [N, G]
+        with per-extract re-scan of only the winning 128-wide chunk."""
+        W = V // G
+        xg = x.reshape(N, G, W)
+        cm = xg.max(-1)                                   # [N, G] one sweep
+        ca = xg.argmax(-1).astype(jnp.int32)
+        vals, idxs = [], []
+        lane = jnp.arange(W)[None, :]
+        for _ in range(K):
+            g = cm.argmax(-1).astype(jnp.int32)           # [N]
+            v = jnp.take_along_axis(cm, g[:, None], -1)[:, 0]
+            a = jnp.take_along_axis(ca, g[:, None], -1)[:, 0]
+            vals.append(v)
+            idxs.append(g * W + a)
+            # re-scan ONLY the winning chunk for its next-best element
+            row = jnp.take_along_axis(xg, g[:, None, None], 1)[:, 0]  # [N, W]
+            # mask out every element of this chunk already emitted
+            emitted = jnp.zeros((N, W), bool)
+            for pv, pi in zip(vals, idxs):
+                same_chunk = (pi // W == g)
+                emitted |= (lane == (pi % W)[:, None]) & same_chunk[:, None]
+            row = jnp.where(emitted, -1e30, row)
+            nm = row.max(-1)
+            na = row.argmax(-1).astype(jnp.int32)
+            onehot = jnp.arange(G)[None, :] == g[:, None]
+            cm = jnp.where(onehot, nm[:, None], cm)
+            ca = jnp.where(onehot, na[:, None], ca)
+        return jnp.stack(vals, -1), jnp.stack(idxs, -1)
+
+    timeit("chunkmax+iter-on-chunks", two_stage_iter)
+
+    # correctness
+    rv, _ = jax.lax.top_k(logits, K)
+    for nm, fn in [("iter", iterative), ("2s", two_stage),
+                   ("2si", two_stage_iter)]:
+        v, i = fn(logits)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(rv), rtol=1e-6)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(i), -1) >= 0, True)
+        # values gathered at idxs must equal reported values
+        got = np.take_along_axis(np.asarray(logits), np.asarray(i), -1)
+        np.testing.assert_allclose(got, np.asarray(v), rtol=1e-6)
+        print(f"{nm} matches", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -127,9 +127,13 @@ class Captioner:
                                              method=VidCapModel.init_state)
                     state = tile_recurrent(state, K)
 
+                    # bf16-stored logits: bit-identical beams (Dense output is
+                    # bf16-rounded either way), half the top-k sweep traffic
+                    bf16 = self.cfg.model.compute_dtype == "bfloat16"
+
                     def beam_step(st, tok):
                         return self.model.apply(
-                            {"params": p}, st, tok, K,
+                            {"params": p}, st, tok, K, bf16,
                             method=VidCapModel.step_beam)
 
                     toks, _ = beam_decode(

@@ -188,9 +188,16 @@ class CaptionDecoder(nn.Module):
 
     # ------------------------------------------------------------------ stepping
 
-    def _lstm_logits(self, state: DecoderState, emb: Array, ctx: Array
+    def _lstm_logits(self, state: DecoderState, emb: Array, ctx: Array,
+                     keep_compute_dtype: bool = False
                      ) -> Tuple[DecoderState, Array]:
-        """Shared LSTM stack + vocab projection given the attention context."""
+        """Shared LSTM stack + vocab projection given the attention context.
+
+        keep_compute_dtype=True skips the f32 upcast of the [B, V] logits.
+        When compute_dtype is bf16 the Dense output IS bf16 (rounded), so the
+        upcast adds no information — but it doubles the HBM footprint of the
+        buffer the beam top-k then sweeps five times. Values are identical
+        either way; only the storage dtype changes."""
         x = jnp.concatenate([emb, ctx], axis=-1)
         if self.cfg.dropout_rate > 0:
             x = self.dropout(x, deterministic=self.deterministic)
@@ -202,10 +209,14 @@ class CaptionDecoder(nn.Module):
             x = hi
         if self.cfg.dropout_rate > 0:
             x = self.dropout(x, deterministic=self.deterministic)
-        logits = self.out_proj(x.astype(self.compute_dtype)).astype(jnp.float32)
+        logits = self.out_proj(x.astype(self.compute_dtype))
+        if not keep_compute_dtype:
+            logits = logits.astype(jnp.float32)
         # mask padding vocab entries so decode strategies can never emit them
+        # (-1e30 is representable in bf16 — same 8-bit exponent as f32)
         logits = jnp.where(
-            jnp.arange(self.padded_vocab) < self.vocab_size, logits, -1e30)
+            jnp.arange(self.padded_vocab) < self.vocab_size, logits,
+            jnp.asarray(-1e30, logits.dtype))
         new_state = DecoderState(h=jnp.stack(new_h), c=jnp.stack(new_c),
                                  keys=state.keys, values=state.values,
                                  frame_mask=state.frame_mask)
@@ -259,7 +270,8 @@ class CaptionDecoder(nn.Module):
                                  frame_mask=state.frame_mask)
         return new_state, x
 
-    def step_beam(self, state: DecoderState, token: Array, beam_width: int
+    def step_beam(self, state: DecoderState, token: Array, beam_width: int,
+                  keep_compute_dtype: bool = False
                   ) -> Tuple[DecoderState, Array]:
         """Beam decode step with per-VIDEO attention tensors.
 
@@ -281,7 +293,8 @@ class CaptionDecoder(nn.Module):
             pooled = ((state.values.astype(jnp.float32)
                        * state.frame_mask[..., None]).sum(1) / denom)  # [B, H]
             ctx = jnp.repeat(pooled, K, axis=0)
-        return self._lstm_logits(state, emb, ctx)
+        return self._lstm_logits(state, emb, ctx,
+                                 keep_compute_dtype=keep_compute_dtype)
 
     # ------------------------------------------------------------------ XE path
 

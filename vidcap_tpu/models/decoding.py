@@ -209,15 +209,18 @@ def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
         # and running top-K over K·V. The union of per-row top-Ks contains the
         # global top-K, so results are identical (up to tie order); per step
         # this saves ~2 HBM sweeps of the [B·K, V] buffer.
-        lse = jax.scipy.special.logsumexp(logits, axis=-1)  # [B*K]
+        # dtype-agnostic: when step_fn keeps logits in bf16 (the Dense output
+        # dtype — the f32 upcast adds no information, see decoder._lstm_logits)
+        # the five top-k sweeps touch half the bytes; lse still accumulates in
+        # f32 (the cast fuses into the reduction) and results are bit-identical
+        # because every bf16 value upcasts exactly.
+        lse = jax.scipy.special.logsumexp(
+            logits.astype(jnp.float32), axis=-1)            # [B*K]
         if topk_impl == "iterative":
             tv, ti = per_row_topk_iterative(logits, K)      # [B*K, K]
         else:
             tv, ti = jax.lax.top_k(logits, K)               # [B*K, K]
-        # (a bf16-ranked variant was measured SLOWER — the [N,V] cast
-        # materialization outweighs the halved sweep traffic — and is only
-        # lossless when compute_dtype is bf16, so it was removed)
-        logp_k = (tv - lse[:, None]).reshape(B, K, K)
+        logp_k = (tv.astype(jnp.float32) - lse[:, None]).reshape(B, K, K)
         idx_k = ti.reshape(B, K, K).astype(jnp.int32)
 
         # finished beams: only candidate is PAD at zero cost

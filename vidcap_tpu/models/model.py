@@ -71,9 +71,11 @@ class VidCapModel(nn.Module):
              ) -> Tuple[DecoderState, Array]:
         return self.decoder.step(state, token)
 
-    def step_beam(self, state: DecoderState, token: Array, beam_width: int
+    def step_beam(self, state: DecoderState, token: Array, beam_width: int,
+                  keep_compute_dtype: bool = False
                   ) -> Tuple[DecoderState, Array]:
-        return self.decoder.step_beam(state, token, beam_width)
+        return self.decoder.step_beam(state, token, beam_width,
+                                      keep_compute_dtype)
 
     def step_beam_hidden(self, state: DecoderState, token: Array,
                          beam_width: int) -> Tuple[DecoderState, Array]:
