@@ -46,4 +46,5 @@ def run(impl, B=128, iters=8):
 
 
 if __name__ == "__main__":
-    run(sys.argv[1] if len(sys.argv) > 1 else "lax")
+    run(sys.argv[1] if len(sys.argv) > 1 else "lax",
+        B=int(sys.argv[2]) if len(sys.argv) > 2 else 128)

@@ -155,6 +155,24 @@ def per_row_topk_iterative(x: Array, k: int) -> Tuple[Array, Array]:
     return jnp.stack(vals, -1), jnp.stack(idxs, -1)
 
 
+def per_row_topk_rescan(x: Array, k: int) -> Tuple[Array, Array]:
+    """Like :func:`per_row_topk_iterative` but pass k re-masks the ORIGINAL
+    buffer with the k-1 previous argmaxes instead of carrying a masked copy —
+    the where-chains fuse into each max/argmax reduction, so the [N, V] buffer
+    is only ever READ (5 sweeps), never re-written (saves ~4 write sweeps)."""
+    V = x.shape[-1]
+    col = jnp.arange(V)[None, :]
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    vals, idxs = [], []
+    for _ in range(k):
+        masked = x
+        for a in idxs:
+            masked = jnp.where(col == a[:, None], neg, masked)
+        vals.append(masked.max(-1))
+        idxs.append(masked.argmax(-1).astype(jnp.int32))
+    return jnp.stack(vals, -1), jnp.stack(idxs, -1)
+
+
 def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
                 vocab_size: int, length_penalty: float = 0.0,
                 recurrent_only_gather: bool = True,
@@ -218,6 +236,8 @@ def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
             logits.astype(jnp.float32), axis=-1)            # [B*K]
         if topk_impl == "iterative":
             tv, ti = per_row_topk_iterative(logits, K)      # [B*K, K]
+        elif topk_impl == "rescan":
+            tv, ti = per_row_topk_rescan(logits, K)
         else:
             tv, ti = jax.lax.top_k(logits, K)               # [B*K, K]
         logp_k = (tv.astype(jnp.float32) - lse[:, None]).reshape(B, K, K)
