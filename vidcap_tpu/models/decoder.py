@@ -222,7 +222,8 @@ class CaptionDecoder(nn.Module):
                                  frame_mask=state.frame_mask)
         return new_state, logits
 
-    def _step_from_emb(self, state: DecoderState, emb: Array
+    def _step_from_emb(self, state: DecoderState, emb: Array,
+                       keep_compute_dtype: bool = False
                        ) -> Tuple[DecoderState, Array]:
         c = self.cfg
         if c.use_attention:
@@ -232,13 +233,17 @@ class CaptionDecoder(nn.Module):
             denom = jnp.maximum(state.frame_mask.sum(-1, keepdims=True), 1.0)
             ctx = ((state.values.astype(jnp.float32)
                     * state.frame_mask[..., None]).sum(1) / denom)
-        return self._lstm_logits(state, emb, ctx)
+        return self._lstm_logits(state, emb, ctx,
+                                 keep_compute_dtype=keep_compute_dtype)
 
-    def step(self, state: DecoderState, token: Array
+    def step(self, state: DecoderState, token: Array,
+             keep_compute_dtype: bool = False
              ) -> Tuple[DecoderState, Array]:
-        """One decode step. token: i32[B] (previous token) → logits f32[B, V]."""
+        """One decode step. token: i32[B] (previous token) → logits f32[B, V]
+        (or the compute dtype when keep_compute_dtype — values identical,
+        see _lstm_logits)."""
         emb = self.embed(token).astype(jnp.float32)
-        return self._step_from_emb(state, emb)
+        return self._step_from_emb(state, emb, keep_compute_dtype)
 
     def step_beam_hidden(self, state: DecoderState, token: Array,
                          beam_width: int) -> Tuple[DecoderState, Array]:

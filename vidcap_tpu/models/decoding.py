@@ -62,17 +62,23 @@ def _rollout(step_fn, state, batch: int, max_len: int,
 
 
 def greedy_decode(step_fn, state, batch: int, max_len: int,
-                  early_exit: bool = False) -> Rollout:
+                  early_exit: bool = False, with_logp: bool = True) -> Rollout:
     """Argmax rollout to <eos>/max_len (SURVEY.md C9); SCST baseline path.
 
     early_exit=True uses ``lax.while_loop`` and stops the moment every row has
     emitted <eos> — for a converged captioner (mean length ~10 ≪ max_len 30)
     that's ~3× fewer decode steps. Training rollouts keep the static scan
-    (fixed cost, better pipelining); serving can opt in."""
+    (fixed cost, better pipelining); serving can opt in.
+
+    with_logp=False skips the per-step log_softmax (a full [B, V] exp/log
+    sweep) and returns zeros in ``logp`` — the SCST baseline only consumes
+    tokens + mask, never the baseline's log-probs."""
 
     def select(logits, key):
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        logp = jax.nn.log_softmax(logits, axis=-1)
+        if not with_logp:
+            return tok, jnp.zeros(tok.shape, jnp.float32)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         return tok, jnp.take_along_axis(logp, tok[:, None], axis=-1)[:, 0]
 
     if early_exit:

@@ -67,9 +67,10 @@ class VidCapModel(nn.Module):
                    ) -> DecoderState:
         return self.decoder.init_state(self.encode_features(inputs), frame_mask)
 
-    def step(self, state: DecoderState, token: Array
+    def step(self, state: DecoderState, token: Array,
+             keep_compute_dtype: bool = False
              ) -> Tuple[DecoderState, Array]:
-        return self.decoder.step(state, token)
+        return self.decoder.step(state, token, keep_compute_dtype)
 
     def step_beam(self, state: DecoderState, token: Array, beam_width: int,
                   keep_compute_dtype: bool = False

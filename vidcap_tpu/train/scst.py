@@ -74,8 +74,17 @@ def make_scst_step(model: VidCapModel, cfg: Config, dataset=None,
         else:
             sample = sample_decode(step_fn, init_state(), B, max_len, rng,
                                    temperature=cfg.decode.temperature)
+
+            # baseline rollout: forward-only, tokens are all that matter —
+            # bf16 logits (argmax is exact on the bf16-rounded Dense output)
+            # and no log_softmax (the baseline's logp is never consumed)
+            def step_bf16(state, tok):
+                return model.apply({"params": params}, state, tok, True,
+                                   method=VidCapModel.step)
+
             greedy = jax.lax.stop_gradient(
-                greedy_decode(step_fn, init_state(), B, max_len))
+                greedy_decode(step_bf16, init_state(), B, max_len,
+                              with_logp=False))
 
         r_s = scst_reward(tables, batch["video_idx"], sample.tokens,
                           sample.mask, bleu_mix)
