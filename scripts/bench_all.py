@@ -52,12 +52,18 @@ def bench_decode(cfg, model, params, B=128, iters=8):
         return model.apply({"params": params}, state, tok,
                            method=VidCapModel.step)
 
+    def step_bf16(state, tok):
+        return model.apply({"params": params}, state, tok, True,
+                           method=VidCapModel.step)
+
     def init(f):
         return model.apply({"params": params}, f,
                            method=VidCapModel.init_state)
 
     out = {}
-    g = jax.jit(lambda f: greedy_decode(step_fn, init(f), B, L).tokens)
+    # tokens-only serving config (matches Captioner): bf16 logits, no logp
+    g = jax.jit(lambda f: greedy_decode(step_bf16, init(f), B, L,
+                                        with_logp=False).tokens)
     out["greedy_caps_per_s"] = B / _time(g, feats)
 
     # fused Pallas rollout: VMEM-bound to B<=64 at production dims
@@ -80,7 +86,8 @@ def bench_decode(cfg, model, params, B=128, iters=8):
         st = tile_recurrent(init(f), K)
 
         def sb(s_, tok):
-            return model.apply({"params": params}, s_, tok, K,
+            # keep_compute_dtype=True matches the Captioner/bench.py beam path
+            return model.apply({"params": params}, s_, tok, K, True,
                                method=VidCapModel.step_beam)
 
         return beam_decode(sb, st, batch=B, max_len=L, beam_width=K,
@@ -88,9 +95,32 @@ def bench_decode(cfg, model, params, B=128, iters=8):
 
     out["beam5_caps_per_s"] = B / _time(jax.jit(bm), feats)
 
-    # p50 per-video latency: single-video batch greedy
+    # p50 per-video latency, beam=5 batch 8 (BASELINE.json's p50 config)
+    fb = _feats(cfg, 8, 12, seed=4)
+
+    def bm8(f):
+        st = tile_recurrent(init(f), K)
+
+        def sb(s_, tok):
+            return model.apply({"params": params}, s_, tok, K, True,
+                               method=VidCapModel.step_beam)
+
+        return beam_decode(sb, st, batch=8, max_len=L, beam_width=K,
+                           vocab_size=V)[0]
+
+    bj = jax.jit(bm8)
+    np.asarray(bj(fb[0]))
+    lats = []
+    for f in fb[1:]:
+        t0 = time.perf_counter()
+        np.asarray(bj(f))
+        lats.append(time.perf_counter() - t0)
+    out["p50_latency_ms_beam5_batch8"] = float(np.percentile(lats, 50) * 1e3)
+
+    # p50 per-video latency: single-video batch greedy (serving config)
     f1 = _feats(cfg, 8, 12, seed=3)
-    g1 = jax.jit(lambda f: greedy_decode(step_fn, init(f), 8, L).tokens)
+    g1 = jax.jit(lambda f: greedy_decode(step_bf16, init(f), 8, L,
+                                         with_logp=False).tokens)
     np.asarray(g1(f1[0]))
     lats = []
     for f in f1[1:]:

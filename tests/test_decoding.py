@@ -177,6 +177,36 @@ def test_beam_iterative_topk_same_result(tiny_cfg):
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
 
 
+def test_tokens_only_bf16_greedy_matches(bound_model, tiny_cfg):
+    """Serving config (bf16 logits + with_logp=False) must emit the SAME
+    tokens/mask as the f32+logp rollout — argmax is exact on the bf16-rounded
+    Dense output."""
+    from vidcap_tpu.models.model import VidCapModel, create_model, init_params
+    model = create_model(tiny_cfg, vocab_size=100)
+    params = init_params(model, tiny_cfg, jax.random.key(1))
+    B = 4
+    feats = jnp.asarray(np.random.default_rng(9).normal(
+        size=(B, tiny_cfg.data.num_frames, tiny_cfg.data.feature_dim)),
+        jnp.float32)
+    state = model.apply({"params": params}, feats,
+                        method=VidCapModel.init_state)
+
+    def mk_step(bf16):
+        def step(st, tok):
+            return model.apply({"params": params}, st, tok, bf16,
+                               method=VidCapModel.step)
+        return step
+
+    full = greedy_decode(mk_step(False), state, B, max_len=10)
+    lean = greedy_decode(mk_step(True), state, B, max_len=10,
+                         with_logp=False)
+    np.testing.assert_array_equal(np.asarray(full.tokens),
+                                  np.asarray(lean.tokens))
+    np.testing.assert_array_equal(np.asarray(full.mask),
+                                  np.asarray(lean.mask))
+    assert not np.asarray(lean.logp).any()
+
+
 def test_early_exit_matches_scan(bound_model):
     """while_loop early-exit rollout ≡ the static scan rollout, token-for-token."""
     step_fn, make_state, cfg = bound_model

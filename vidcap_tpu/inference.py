@@ -56,9 +56,10 @@ class Captioner:
 
     # ------------------------------------------------------------ jitted decoders
 
-    def _step_fn(self, params):
+    def _step_fn(self, params, keep_compute_dtype: bool = False):
         def step(state, tok):
             return self.model.apply({"params": params}, state, tok,
+                                    keep_compute_dtype,
                                     method=VidCapModel.step)
         return step
 
@@ -88,12 +89,16 @@ class Captioner:
                         self.model, p, f, max_len=self.max_len).tokens))
                 return np.asarray(fn(self.params, feats))
             ee = self.cfg.decode.early_exit
+            # tokens-only serving: bf16 logits (argmax exact on the
+            # bf16-rounded Dense output) and no log_softmax
+            bf16 = self.cfg.model.compute_dtype == "bfloat16"
             fn = self._get(("greedy", B, ee), lambda: jax.jit(
                 lambda p, f: greedy_decode(
-                    self._step_fn(p),
+                    self._step_fn(p, keep_compute_dtype=bf16),
                     self.model.apply({"params": p}, f,
                                      method=VidCapModel.init_state),
-                    B, self.max_len, early_exit=ee).tokens))
+                    B, self.max_len, early_exit=ee,
+                    with_logp=False).tokens))
             return np.asarray(fn(self.params, feats))
 
         if method == "sample":
