@@ -18,10 +18,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_beam_captions_per_sec(batch_size: int = 192, iters: int = 8,
+def bench_beam_captions_per_sec(batch_size: int = 208, iters: int = 8,
                                 warmup: int = 2) -> float:
-    # B=192 (960 beam rows) measured fastest: 10,017 caps/s vs 8,741 at B=128
-    # and a VMEM cliff at B≥224 (bf16 logits buffer 960×16128×2B = 31MB).
+    # Batch sweep (bf16 logits, caps/s): 128→8,741  160→9,899  176→9,552
+    # 192→10,017  208→10,497  216→8,589  224→6,509. B=208 is the VMEM edge.
     from vidcap_tpu.utils.compilation_cache import enable_compilation_cache
     enable_compilation_cache()
     from vidcap_tpu.config import get_preset
