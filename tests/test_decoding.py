@@ -177,6 +177,48 @@ def test_beam_iterative_topk_same_result(tiny_cfg):
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
 
 
+def test_beam_early_exit_matches_scan(bound_model, tiny_cfg):
+    """while_loop early-exit beam ≡ static-scan beam (tokens and scores), on a
+    real model AND on a toy LM where every beam finishes at step 2 of 8."""
+    from vidcap_tpu.models.decoding import tile_recurrent
+    from vidcap_tpu.models.model import VidCapModel, create_model, init_params
+    model = create_model(tiny_cfg, vocab_size=100)
+    params = init_params(model, tiny_cfg, jax.random.key(3))
+    B, K = 4, 5
+    feats = jnp.asarray(np.random.default_rng(5).normal(
+        size=(B, tiny_cfg.data.num_frames, tiny_cfg.data.feature_dim)),
+        jnp.float32)
+    state = tile_recurrent(model.apply({"params": params}, feats,
+                                       method=VidCapModel.init_state), K)
+
+    def beam_step(st, tok):
+        return model.apply({"params": params}, st, tok, K,
+                           method=VidCapModel.step_beam)
+
+    t_scan, s_scan = beam_decode(beam_step, state, batch=B, max_len=10,
+                                 beam_width=K, vocab_size=256)
+    t_ee, s_ee = beam_decode(beam_step, state, batch=B, max_len=10,
+                             beam_width=K, vocab_size=256, early_exit=True)
+    np.testing.assert_array_equal(np.asarray(t_scan), np.asarray(t_ee))
+    np.testing.assert_array_equal(np.asarray(s_scan), np.asarray(s_ee))
+
+    # toy LM: every continuation hits EOS at step 2 → the while_loop exits at
+    # t=2 while the scan runs all 8 steps; results must still be identical
+    V = 6
+    logits = np.full((V, V), -4.0, np.float32)
+    logits[BOS, 4] = 1.0
+    logits[BOS, 5] = 0.5
+    logits[4, EOS] = 2.0
+    logits[5, EOS] = 1.0
+    step_fn = _toy_step_fn(jnp.asarray(logits))
+    t1, s1 = beam_decode(step_fn, jnp.zeros((2,)), batch=1, max_len=8,
+                         beam_width=2, vocab_size=V)
+    t2, s2 = beam_decode(step_fn, jnp.zeros((2,)), batch=1, max_len=8,
+                         beam_width=2, vocab_size=V, early_exit=True)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
 def test_tokens_only_bf16_greedy_matches(bound_model, tiny_cfg):
     """Serving config (bf16 logits + with_logp=False) must emit the SAME
     tokens/mask as the f32+logp rollout — argmax is exact on the bf16-rounded

@@ -59,8 +59,9 @@ class DecodeConfig:
     max_len: int = 30
     length_penalty: float = 0.0           # 0 = raw logprob (reference-style)
     temperature: float = 1.0
-    early_exit: bool = True               # greedy serving: stop at all-<eos>
-    #   (while_loop; training rollouts always use the static scan)
+    early_exit: bool = True               # serving decodes (greedy + beam):
+    #   lax.while_loop, stop at all-finished; training rollouts and throughput
+    #   benchmarks always use the static scan
 
 
 @dataclasses.dataclass(frozen=True)

@@ -144,7 +144,8 @@ class Captioner:
                     toks, _ = beam_decode(
                         beam_step, state, batch=B,
                         max_len=self.max_len, beam_width=K, vocab_size=pv,
-                        length_penalty=self.cfg.decode.length_penalty)
+                        length_penalty=self.cfg.decode.length_penalty,
+                        early_exit=self.cfg.decode.early_exit)
                     return toks
                 return jax.jit(decode)
 

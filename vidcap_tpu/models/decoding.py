@@ -182,12 +182,20 @@ def per_row_topk_rescan(x: Array, k: int) -> Tuple[Array, Array]:
 def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
                 vocab_size: int, length_penalty: float = 0.0,
                 recurrent_only_gather: bool = True,
-                topk_impl: str = "iterative") -> Tuple[Array, Array]:
+                topk_impl: str = "iterative",
+                early_exit: bool = False) -> Tuple[Array, Array]:
     """Batched beam search fully on-device (SURVEY.md C11, §3.3 "TPU build").
 
     The B×K beams are flattened into the batch dimension so every step is one
     decoder call on a [B*K] batch. State layout: the caller must pass ``state``
     already tiled to B*K rows (use :func:`tile_state`).
+
+    early_exit=True runs the same step body under ``lax.while_loop`` and stops
+    the moment every beam of every video is finished — finished beams only ever
+    extend with <pad> at zero cost, so stopping early leaves alive_logp and
+    alive_seq exactly as the full scan would (serving on a converged captioner
+    finishes in ~a third of max_len). Throughput benchmarking keeps the static
+    scan (fixed trip count, better pipelining).
 
     Returns (tokens i32[B, L] best beam, scores f32[B]).
     """
@@ -284,8 +292,20 @@ def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
     finished = jnp.zeros((B, K), bool)
     prev_tok = jnp.full((B * K,), BOS, jnp.int32)
     carry = (state, prev_tok, alive_logp, alive_seq, finished)
-    (st, _, alive_logp, alive_seq, finished), _ = jax.lax.scan(
-        step, carry, jnp.arange(max_len))
+    if early_exit:
+        def cond(tc):
+            t, c = tc
+            return (t < max_len) & ~c[4].all()
+
+        def body(tc):
+            t, c = tc
+            return t + 1, step(c, t)[0]
+
+        _, (st, _, alive_logp, alive_seq, finished) = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), carry))
+    else:
+        (st, _, alive_logp, alive_seq, finished), _ = jax.lax.scan(
+            step, carry, jnp.arange(max_len))
 
     lengths = (alive_seq != PAD).astype(jnp.float32).sum(-1)
     scores = lp_norm(alive_logp, lengths)
