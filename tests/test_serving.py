@@ -30,3 +30,53 @@ def test_serve_features_roundtrip(tmp_path, tiny_cfg, tiny_dataset):
         path, caption = line.split("\t")
         assert path.endswith(".npy")
         assert isinstance(caption, str)
+
+
+def test_serve_short_features_masked(tmp_path, tiny_cfg, tiny_dataset):
+    """Short feature files get a frame_mask: the caption must match decoding
+    the unpadded features directly (padding frames invisible to attention)."""
+    cap = Captioner.from_checkpoint(tiny_cfg, tiny_dataset, checkpoint_dir=None)
+    server = CaptionServer(tiny_cfg, cap, batch_size=4)
+    T, D = tiny_cfg.data.num_frames, tiny_cfg.data.feature_dim
+    t_short = max(1, T // 2)
+    rng = np.random.default_rng(1)
+    short = rng.normal(size=(t_short, D)).astype(np.float32)
+    p = tmp_path / "short.npy"
+    np.save(p, short)
+
+    out = io.StringIO()
+    server.run(inp=io.StringIO(str(p) + "\n"), out=out)
+    served_caption = out.getvalue().splitlines()[0].split("\t")[1]
+
+    # oracle: decode the same features with an explicit mask, full batch of 1 pad
+    batch = np.zeros((4, T, D), np.float32)
+    batch[0, :t_short] = short
+    mask = np.zeros((4, T), np.float32)
+    mask[0, :t_short] = 1.0
+    toks = cap.decode_batch(batch, method="greedy", frame_mask=mask)
+    oracle = tiny_dataset.vocab.decode_str(toks[0])
+    assert served_caption == oracle
+
+    # and masked padding must actually matter: an unmasked decode of the
+    # zero-padded batch may differ (attention sees fake frames)
+    toks_unmasked = cap.decode_batch(batch, method="greedy")
+    # no assertion of inequality (could coincide for a random model); the
+    # masked path just must be the one served — checked above.
+    assert toks_unmasked.shape == toks.shape
+
+
+def test_serve_wrong_dim_skipped(tmp_path, tiny_cfg, tiny_dataset):
+    """A [T, D'] feature file with the wrong D is skipped with a message, not
+    a traceback (VERDICT r1 weak #6)."""
+    cap = Captioner.from_checkpoint(tiny_cfg, tiny_dataset, checkpoint_dir=None)
+    server = CaptionServer(tiny_cfg, cap, batch_size=2)
+    T, D = tiny_cfg.data.num_frames, tiny_cfg.data.feature_dim
+    bad = tmp_path / "bad.npy"
+    np.save(bad, np.zeros((T, D + 7), np.float32))
+    good = tmp_path / "good.npy"
+    np.save(good, np.zeros((T, D), np.float32))
+    out = io.StringIO()
+    served = server.run(inp=io.StringIO(f"{bad}\n{good}\n"), out=out)
+    assert served == 1
+    lines = [l for l in out.getvalue().splitlines() if l]
+    assert len(lines) == 1 and lines[0].startswith(str(good))

@@ -60,11 +60,13 @@ def cmd_train(args) -> int:
 
 
 def _decode_split(cfg: Config, method: str, beam: int, temperature: float,
-                  checkpoint_dir: Optional[str], out_path: Optional[str]) -> dict:
+                  checkpoint_dir: Optional[str], out_path: Optional[str],
+                  seed: Optional[int] = None) -> dict:
     from vidcap_tpu.inference import Captioner
     dataset = _load_dataset(cfg, split="test")
     cap = Captioner.from_checkpoint(cfg, dataset,
-                                    checkpoint_dir or cfg.train.checkpoint_dir)
+                                    checkpoint_dir or cfg.train.checkpoint_dir,
+                                    seed=seed)
     results = cap.caption_dataset(method=method, beam_width=beam,
                                   temperature=temperature)
     if out_path:
@@ -82,14 +84,15 @@ def cmd_caption(args) -> int:
     cfg = get_preset(args.preset)
     method = args.method or cfg.decode.method
     _decode_split(cfg, method, args.beam or cfg.decode.beam_width,
-                  args.temperature, args.checkpoint_dir, args.out)
+                  args.temperature, args.checkpoint_dir, args.out,
+                  seed=getattr(args, "seed", None))
     return 0
 
 
 def cmd_sample(args) -> int:
     cfg = get_preset(args.preset)
     _decode_split(cfg, "sample", cfg.decode.beam_width, args.temperature,
-                  args.checkpoint_dir, args.out)
+                  args.checkpoint_dir, args.out, seed=args.seed)
     return 0
 
 
@@ -126,7 +129,8 @@ def cmd_serve(args) -> int:
     from vidcap_tpu.serving import CaptionServer
     dataset = _load_dataset(cfg, split="train")   # supplies the vocab
     cap = Captioner.from_checkpoint(
-        cfg, dataset, args.checkpoint_dir or cfg.train.checkpoint_dir)
+        cfg, dataset, args.checkpoint_dir or cfg.train.checkpoint_dir,
+        seed=args.seed)
     server = CaptionServer(cfg, cap, batch_size=args.batch,
                            method=args.method or cfg.decode.method,
                            beam_width=args.beam or cfg.decode.beam_width)
@@ -159,12 +163,16 @@ def main(argv=None) -> int:
     c.add_argument("--beam", type=int, default=None)
     c.add_argument("--temperature", type=float, default=1.0)
     c.add_argument("--out", default=None)
+    c.add_argument("--seed", type=int, default=None,
+                   help="reproducible sampling seed (method=sample)")
     c.set_defaults(fn=cmd_caption)
 
     s = sub.add_parser("sample", help="multinomial-sampling decode")
     common(s)
     s.add_argument("--temperature", type=float, default=1.0)
     s.add_argument("--out", default=None)
+    s.add_argument("--seed", type=int, default=None,
+                   help="reproducible sampling seed")
     s.set_defaults(fn=cmd_sample)
 
     e = sub.add_parser("eval", help="score a captions json (BLEU/ROUGE/CIDEr)")
@@ -191,6 +199,8 @@ def main(argv=None) -> int:
                     default=None)
     sv.add_argument("--beam", type=int, default=None)
     sv.add_argument("--batch", type=int, default=32)
+    sv.add_argument("--seed", type=int, default=None,
+                    help="reproducible sampling seed (method=sample)")
     sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)

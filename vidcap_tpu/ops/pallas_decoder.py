@@ -449,7 +449,8 @@ def pallas_rollout(
 
 def model_rollout(model, params, feats: Array, max_len: int,
                   sample: bool = False, seed: int | Array = 0,
-                  temperature: float = 1.0, interpret: bool = False):
+                  temperature: float = 1.0, interpret: bool = False,
+                  frame_mask: Array | None = None):
     """Convenience wrapper: build the decode state with the model's own
     init_state (feat/key projections + h0/c0 — one-time XLA work per batch),
     then run the fused Pallas rollout. Returns a models/decoding.Rollout.
@@ -460,7 +461,7 @@ def model_rollout(model, params, feats: Array, max_len: int,
     from vidcap_tpu.models.decoding import Rollout
     from vidcap_tpu.models.model import VidCapModel
 
-    state = model.apply({"params": params}, feats,
+    state = model.apply({"params": params}, feats, frame_mask,
                         method=VidCapModel.init_state)
     weights = from_params(params)
     toks, logp, mask = pallas_rollout(

@@ -51,6 +51,10 @@ class CaptionServer:
         if feats.ndim != 2:
             raise ValueError(f"{path}: expected [T, D] features, "
                              f"got {feats.shape}")
+        D = self.cfg.data.feature_dim
+        if feats.shape[1] != D:
+            raise ValueError(f"{path}: feature dim {feats.shape[1]} != "
+                             f"configured {D}")
         return feats.astype(np.float32)
 
     # ------------------------------------------------------------ serving loop
@@ -62,11 +66,16 @@ class CaptionServer:
         n = len(paths)
         T, D = self.cfg.data.num_frames, self.cfg.data.feature_dim
         batch = np.zeros((self.batch_size, T, D), np.float32)
+        # frame_mask marks the t real frames so attention + the pooled decoder
+        # init ignore zero-padding (short inputs AND all-zero filler rows)
+        mask = np.zeros((self.batch_size, T), np.float32)
         for i, f in enumerate(feats):
             t = min(f.shape[0], T)
             batch[i, :t] = f[:t]
+            mask[i, :t] = 1.0
         toks = self.captioner.decode_batch(
-            batch, method=self.method, beam_width=self.beam_width)
+            batch, method=self.method, beam_width=self.beam_width,
+            frame_mask=mask)
         vocab = self.captioner.dataset.vocab
         for i in range(n):
             out.write(f"{paths[i]}\t{vocab.decode_str(toks[i])}\n")
