@@ -123,6 +123,16 @@ def cmd_prepare(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    from vidcap_tpu.convert import convert_irv2_checkpoint_to_npz
+    cfg = get_preset(args.preset)
+    out = convert_irv2_checkpoint_to_npz(args.tf_checkpoint, args.out,
+                                         frame_size=cfg.data.frame_size)
+    print(f"[vidcap] wrote converted backbone weights → {out}",
+          file=sys.stderr)
+    return 0
+
+
 def cmd_serve(args) -> int:
     cfg = get_preset(args.preset)
     from vidcap_tpu.inference import Captioner
@@ -192,6 +202,15 @@ def main(argv=None) -> int:
     common(pr)
     pr.add_argument("annotations", nargs="+")
     pr.set_defaults(fn=cmd_prepare)
+
+    cv = sub.add_parser("convert",
+                        help="TF-slim IRv2 checkpoint → backbone .npz "
+                             "(load via VIDCAP_IRV2_WEIGHTS)")
+    common(cv)
+    cv.add_argument("--tf-checkpoint", required=True,
+                    help=".ckpt prefix or .npz of slim-named variables")
+    cv.add_argument("--out", required=True, help="output .npz path")
+    cv.set_defaults(fn=cmd_convert)
 
     sv = sub.add_parser("serve", help="caption feature/video paths from stdin")
     common(sv)
