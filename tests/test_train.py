@@ -71,3 +71,34 @@ def test_train_loop_and_resume(tmp_path, tiny_cfg, tiny_dataset):
     mgr.close()
     for a, b in zip(p_trained, jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_periodic_val_eval_and_best_ckpt(tmp_path, tiny_cfg, tiny_dataset):
+    """VERDICT r1 next #3: every eval_every steps the val split is decoded
+    and scored; ≥1 eval record lands in the jsonl log and a `best` checkpoint
+    with the top-CIDEr params is kept."""
+    import json
+    import os
+    cfg = dataclasses.replace(
+        tiny_cfg,
+        train=dataclasses.replace(tiny_cfg.train, num_steps=4,
+                                  checkpoint_every=100, log_every=100,
+                                  eval_every=2,
+                                  checkpoint_dir=str(tmp_path / "ckpt")))
+    log_path = tmp_path / "log.jsonl"
+    logger = MetricsLogger(path=str(log_path), quiet=True)
+    train(cfg, dataset=tiny_dataset, logger=logger)
+    logger.close()
+
+    rows = [json.loads(l) for l in open(log_path)]
+    eval_rows = [r for r in rows if "eval_CIDEr" in r]
+    assert len(eval_rows) == 2, rows          # steps 2 and 4
+    for r in eval_rows:
+        assert "eval_Bleu_4" in r and np.isfinite(r["eval_CIDEr"])
+
+    best_dir = tmp_path / "ckpt" / "best"
+    assert os.path.isdir(best_dir)
+    from vidcap_tpu.train.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(best_dir))
+    assert mgr.latest_step() is not None
+    mgr.close()

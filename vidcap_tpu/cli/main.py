@@ -45,6 +45,13 @@ def cmd_train(args) -> int:
     from vidcap_tpu.utils.logging import MetricsLogger
     logger = MetricsLogger(path=args.log_file)
     dataset = _load_dataset(cfg)
+    val_dataset = None
+    if cfg.data.dataset != "synthetic":
+        from vidcap_tpu.data.loader import CaptionDataset
+        try:
+            val_dataset = CaptionDataset.from_files(cfg.data, split="val")
+        except FileNotFoundError:
+            pass   # periodic eval falls back to the train split
 
     stages = (args.stages.split(",") if args.stages else [cfg.train.stage])
     # staged schedule (SURVEY.md §0.5): e.g. --stages xe,scst runs XE then
@@ -55,7 +62,7 @@ def cmd_train(args) -> int:
                 cfg.train, stage=stage.strip(),
                 num_steps=cfg.train.num_steps * (i + 1)))
         train(scfg, dataset=dataset, logger=logger,
-              resume=args.resume or i > 0)
+              resume=args.resume or i > 0, val_dataset=val_dataset)
     return 0
 
 

@@ -27,7 +27,9 @@ class CheckpointManager:
     def save(self, state: TrainState, iter_state=None) -> None:
         """iter_state: optional data/pipeline.IteratorState — saved alongside so
         a resumed run replays the exact remaining batch stream (SIGKILL-resume
-        parity, SURVEY.md §5 failure recovery)."""
+        parity, SURVEY.md §5 failure recovery). The iter_state slot is ALWAYS
+        written (sentinel [-1,-1,-1] when absent) so the checkpoint layout is
+        explicit rather than probed by exception type (ADVICE r1)."""
         import numpy as np
         payload = {"params": state.params, "opt_state": state.opt_state,
                    "step": state.step, "rng": jax.random.key_data(state.rng)}
@@ -35,6 +37,8 @@ class CheckpointManager:
             payload["iter_state"] = np.asarray(
                 [iter_state.seed, iter_state.epoch, iter_state.position],
                 np.int64)
+        else:
+            payload["iter_state"] = np.asarray([-1, -1, -1], np.int64)
         self._mgr.save(int(state.step), args=ocp.args.StandardSave(payload))
 
     def latest_step(self) -> Optional[int]:
@@ -50,13 +54,15 @@ class CheckpointManager:
                   "step": state.step,
                   "rng": jax.random.key_data(state.rng)}
         step = step if step is not None else self._mgr.latest_step()
-        # checkpoints may or may not carry iterator state — try both layouts
+        # current layout always carries an iter_state slot (sentinel -1s when
+        # none); legacy checkpoints may omit it — fall back on ANY structure
+        # error, not just ValueError (orbax versions differ, ADVICE r1)
         has_iter = True
         try:
             restored = self._mgr.restore(
                 step, args=ocp.args.StandardRestore(
                     dict(target, iter_state=np.zeros((3,), np.int64))))
-        except ValueError:
+        except (ValueError, KeyError, TypeError):
             has_iter = False
             restored = self._mgr.restore(
                 step, args=ocp.args.StandardRestore(target))
@@ -67,7 +73,7 @@ class CheckpointManager:
         if not with_iter:
             return new_state
         iter_state = None
-        if has_iter:
+        if has_iter and int(restored["iter_state"][0]) >= 0:
             from vidcap_tpu.data.pipeline import IteratorState
             s, e, p = [int(x) for x in restored["iter_state"]]
             iter_state = IteratorState(seed=s, epoch=e, position=p)

@@ -29,6 +29,18 @@ def batch_to_device_dict(batch: Batch) -> Dict[str, np.ndarray]:
     }
 
 
+def run_validation(cfg: Config, captioner, val_dataset: CaptionDataset
+                   ) -> Dict[str, float]:
+    """Greedy-decode the val split and score it (SURVEY.md C17 'periodic val
+    eval'). Returns the metrics dict ({'CIDEr': ..., 'Bleu_4': ..., ...})."""
+    from vidcap_tpu.metrics.evaluate import evaluate_captions
+    results = captioner.caption_dataset(
+        method="greedy", batch_size=cfg.train.batch_size)
+    refs = {v: val_dataset.video_captions[v] for v in results
+            if v in val_dataset.video_captions}
+    return evaluate_captions(refs, {v: results[v] for v in refs})
+
+
 def train(
     cfg: Config,
     dataset: Optional[CaptionDataset] = None,
@@ -36,8 +48,14 @@ def train(
     logger: Optional[MetricsLogger] = None,
     resume: bool = False,
     make_step: Optional[Callable] = None,
+    val_dataset: Optional[CaptionDataset] = None,
 ) -> TrainState:
-    """Run one training stage; returns the final TrainState."""
+    """Run one training stage; returns the final TrainState.
+
+    Every ``cfg.train.eval_every`` steps the val split (``val_dataset``, or
+    ``dataset`` itself when no val split exists) is greedy-decoded and scored;
+    the checkpoint with the best CIDEr is kept under
+    ``{checkpoint_dir}/best`` (best-checkpoint selection, SURVEY.md §5)."""
     dataset = dataset or CaptionDataset.synthetic(cfg.data)
     logger = logger or MetricsLogger()
     num_steps = num_steps or cfg.train.num_steps
@@ -64,6 +82,32 @@ def train(
     else:
         step_fn = make_step(model, cfg)
 
+    # periodic validation eval + best-CIDEr checkpoint selection
+    eval_every = cfg.train.eval_every
+    captioner = None
+    best_ckpt = None
+    best_cider = -1.0
+    val = val_dataset or dataset
+
+    def maybe_eval(step_no: int, state: TrainState) -> None:
+        nonlocal captioner, best_ckpt, best_cider
+        if eval_every <= 0:
+            return
+        from vidcap_tpu.inference import Captioner
+        if captioner is None:
+            captioner = Captioner.from_state(cfg, val, state)
+        captioner.params = state.params   # decode fns take params as an arg
+        scores = run_validation(cfg, captioner, val)
+        logger.log(step_no, {f"eval_{k}": v for k, v in scores.items()})
+        if scores["CIDEr"] > best_cider:
+            best_cider = scores["CIDEr"]
+            if best_ckpt is None:
+                import os
+                best_ckpt = CheckpointManager(
+                    os.path.join(cfg.train.checkpoint_dir, "best"),
+                    max_to_keep=1)
+            best_ckpt.save(state)
+
     start = int(state.step)
     # deterministic, checkpointable batch stream: a resumed run replays the
     # exact remaining stream (SIGKILL-resume parity, SURVEY.md §5)
@@ -82,6 +126,11 @@ def train(
             logger.log(i + 1, metrics)
         if (i + 1) % cfg.train.checkpoint_every == 0 or i + 1 == num_steps:
             ckpt.save(state, iter_state=it.state)
+        if eval_every > 0 and (i + 1) % eval_every == 0:
+            maybe_eval(i + 1, state)
     ckpt.wait()
     ckpt.close()
+    if best_ckpt is not None:
+        best_ckpt.wait()
+        best_ckpt.close()
     return state
