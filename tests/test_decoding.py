@@ -264,3 +264,101 @@ def test_early_exit_matches_scan(bound_model):
                                   np.asarray(ee_roll.mask))
     np.testing.assert_allclose(np.asarray(scan_roll.logp),
                                np.asarray(ee_roll.logp), rtol=1e-6)
+
+
+# ------------------------------------------------- finished-pool beam semantics
+
+def test_finished_pool_beats_slot_blocking_adversarial():
+    """VERDICT r1 next #4: a case where the slot-blocking beam provably returns
+    a WORSE sequence than the true finished-pool beam.
+
+    With length_penalty=0 the two agree on the winning score (a pruned prefix
+    scores below the finished beam that outranked it, and extensions only add
+    logp ≤ 0) — divergence needs a positive length penalty, where a longer,
+    slightly-worse-raw sequence normalizes better than a short finished one.
+
+    Toy Markov LM (logits rows ARE log-probs; junk token absorbs leftover mass
+    so each row sums to 1): both children of <bos> finish immediately with raw
+    ≈ -1.30 (len 2), filling BOTH slot-blocking slots at t=1 and pruning the
+    live prefix "a b" (raw -1.35). Its completion "a b <eos>" (raw -1.40,
+    len 3) normalizes to -1.05 under lp=1 — better than the finished -1.114.
+    """
+    from vidcap_tpu.models.decoding import beam_decode_pool
+
+    V = 7
+    A_TOK, B_TOK, JUNK = 4, 5, 6
+    NEG = -1e9
+    rows = np.full((V, V), NEG, np.float32)
+    # row BOS: a=-0.6, b=-1.25, junk absorbs
+    rows[BOS, A_TOK] = -0.6
+    rows[BOS, B_TOK] = -1.25
+    rows[BOS, JUNK] = np.log(1.0 - np.exp(-0.6) - np.exp(-1.25))
+    # row a: eos=-0.7 (finish beats continuing), b=-0.75
+    rows[A_TOK, EOS] = -0.7
+    rows[A_TOK, B_TOK] = -0.75
+    rows[A_TOK, JUNK] = np.log(1.0 - np.exp(-0.7) - np.exp(-0.75))
+    # row b: eos=-0.05 (cheap finish for "a b"), a=-5
+    rows[B_TOK, EOS] = -0.05
+    rows[B_TOK, A_TOK] = -5.0
+    rows[B_TOK, JUNK] = np.log(1.0 - np.exp(-0.05) - np.exp(-5.0))
+    # row junk: self-loop, never finishes
+    rows[JUNK, JUNK] = 0.0
+    t = jnp.asarray(rows)
+
+    step_fn = _toy_step_fn(t)
+    slot_toks, slot_scores = beam_decode(
+        step_fn, jnp.zeros((2,)), batch=1, max_len=3, beam_width=2,
+        vocab_size=V, length_penalty=1.0)
+    pool_toks, pool_scores = beam_decode_pool(
+        step_fn, jnp.zeros((2,)), batch=1, max_len=3, beam_width=2,
+        vocab_size=V, length_penalty=1.0)
+
+    # slot-blocking: both slots finish at t=1 with the short captions
+    st = np.asarray(slot_toks)[0]
+    assert st[1] == EOS and st[0] in (A_TOK, B_TOK)
+    np.testing.assert_allclose(float(slot_scores[0]), -1.30 * 6 / 7, rtol=1e-5)
+
+    # finished pool keeps exploring and surfaces the better long caption
+    np.testing.assert_array_equal(np.asarray(pool_toks)[0],
+                                  [A_TOK, B_TOK, EOS])
+    np.testing.assert_allclose(float(pool_scores[0]), -1.40 * 6 / 8, rtol=1e-5)
+    assert float(pool_scores[0]) > float(slot_scores[0])
+
+
+def test_finished_pool_matches_slot_blocking_lp0(bound_model):
+    """With length_penalty=0 the pool and slot-blocking winners carry the SAME
+    score on real models (see adversarial test docstring for the argument)."""
+    from vidcap_tpu.models.decoding import beam_decode_pool, tile_state
+
+    step_fn, make_state, cfg = bound_model
+    B, T, D = 4, cfg.data.num_frames, cfg.data.feature_dim
+    feats = jnp.asarray(np.random.default_rng(3).normal(size=(B, T, D)),
+                        jnp.float32)
+    K = 3
+    st = tile_state(make_state(feats), K, B)
+    toks_a, sc_a = beam_decode(step_fn, st, batch=B, max_len=10,
+                               beam_width=K, vocab_size=100)
+    st = tile_state(make_state(feats), K, B)
+    toks_b, sc_b = beam_decode_pool(step_fn, st, batch=B, max_len=10,
+                                    beam_width=K, vocab_size=100)
+    np.testing.assert_allclose(np.asarray(sc_a), np.asarray(sc_b), atol=1e-4)
+
+
+def test_finished_pool_early_exit_parity(bound_model):
+    """early_exit=True must leave the pool winner identical to the full scan."""
+    from vidcap_tpu.models.decoding import beam_decode_pool, tile_state
+
+    step_fn, make_state, cfg = bound_model
+    B = 3
+    feats = jnp.asarray(np.random.default_rng(11).normal(
+        size=(B, cfg.data.num_frames, cfg.data.feature_dim)), jnp.float32)
+    K = 3
+    st = tile_state(make_state(feats), K, B)
+    toks_a, sc_a = beam_decode_pool(step_fn, st, batch=B, max_len=12,
+                                    beam_width=K, vocab_size=100)
+    st = tile_state(make_state(feats), K, B)
+    toks_b, sc_b = beam_decode_pool(step_fn, st, batch=B, max_len=12,
+                                    beam_width=K, vocab_size=100,
+                                    early_exit=True)
+    np.testing.assert_allclose(np.asarray(sc_a), np.asarray(sc_b), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(toks_a), np.asarray(toks_b))

@@ -35,3 +35,25 @@ def test_interrupted_resume_exact_parity(tmp_path, tiny_cfg, tiny_dataset):
     for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
                     jax.tree_util.tree_leaves(state_b.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_interrupted_resume_parity_with_prefetch(tmp_path, tiny_cfg,
+                                                 tiny_dataset):
+    """Same interrupted-resume EXACT parity, with host-side prefetch enabled —
+    the checkpointed iterator state must cover only consumed batches."""
+    logger = MetricsLogger(quiet=True)
+
+    def _pcfg(steps, name):
+        cfg = _cfg(tiny_cfg, tmp_path, steps, name)
+        return dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, prefetch_depth=3))
+
+    state_a = train(_pcfg(10, "pa"), dataset=tiny_dataset, logger=logger)
+    train(_pcfg(5, "pb"), dataset=tiny_dataset, logger=logger)
+    state_b = train(_pcfg(10, "pb"), dataset=tiny_dataset, logger=logger,
+                    resume=True)
+
+    assert int(state_a.step) == int(state_b.step) == 10
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -91,3 +91,84 @@ def test_evaluate_captions_end_to_end():
         assert k in scores and np.isfinite(scores[k])
     assert scores["Bleu_1"] > 0.5
     assert scores["CIDEr"] > 1.0
+
+
+# ----------------------------------------------------------------- METEOR 1.5
+# Closed-form cases hand-derived from Denkowski & Lavie 2014 (α=0.85, β=0.2,
+# γ=0.6, δ=0.75; exact=1.0/stem=0.6). The round-1 greedy first-match aligner
+# FAILS test_meteor_chunk_minimization (it produced 2 chunks).
+
+def test_meteor_identical_sentence():
+    from vidcap_tpu.metrics.meteor import meteor_sentence
+    # all matched exact, 1 chunk, m=4: P=R=1, fmean=1,
+    # pen = 0.6·(1/4)^0.2 = 0.45471497 → score = 0.54528503
+    s = meteor_sentence([["a", "man", "is", "running"]],
+                        ["a", "man", "is", "running"])
+    assert s == pytest.approx(0.54528503, abs=1e-7)
+
+
+def test_meteor_chunk_minimization():
+    from vidcap_tpu.metrics.meteor import _align, meteor_sentence
+    # greedy first-match pairs cand "cat"→ref[0] → 2 chunks; the Meteor
+    # comparator (matches desc, CHUNKS ASC, distance asc) pairs it with
+    # ref[1] so ("cat","dog") sits adjacent to ref[1:3] → 1 chunk
+    matches, chunks = _align(["cat", "cat", "dog"], ["cat", "dog"])
+    assert len(matches) == 2 and chunks == 1
+    assert [(i, j) for i, j, _ in matches] == [(0, 1), (1, 2)]
+
+    # P=1, R=2/3 → fmean = (2/3)/0.95 = 0.70175439
+    # pen = 0.6·(1/2)^0.2 = 0.52233047 → score = 0.33518
+    s = meteor_sentence([["cat", "cat", "dog"]], ["cat", "dog"])
+    expected = (2 / 3 / 0.95) * (1 - 0.6 * 0.5 ** 0.2)
+    assert s == pytest.approx(expected, abs=1e-9)
+
+
+def test_meteor_stem_match_weight():
+    from vidcap_tpu.metrics.meteor import meteor_sentence
+    # "running"/"runs" → porter stem "run": module weight 0.6
+    # P=R=0.6, fmean=0.6, pen=0.6·1^0.2=0.6 → score = 0.4·0.6 = 0.24
+    s = meteor_sentence([["runs"]], ["running"])
+    assert s == pytest.approx(0.24, abs=1e-9)
+
+
+def test_meteor_function_word_weighting():
+    from vidcap_tpu.metrics.meteor import meteor_sentence
+    # "the"/"a" are function words (weight 1-δ=0.25), "cat" content (0.75);
+    # only "cat" matches → P=R=0.75/1.0, fmean=0.75, pen=0.6 → 0.30
+    s = meteor_sentence([["a", "cat"]], ["the", "cat"])
+    assert s == pytest.approx(0.30, abs=1e-9)
+
+
+def test_meteor_porter_stemmer_reference_pairs():
+    from vidcap_tpu.metrics.meteor import porter_stem
+    # examples from Porter (1980)
+    for w, st in [("caresses", "caress"), ("ponies", "poni"), ("ties", "ti"),
+                  ("cats", "cat"), ("feed", "feed"), ("agreed", "agre"),
+                  ("motoring", "motor"), ("hopping", "hop"),
+                  ("relational", "relat"), ("adjustable", "adjust"),
+                  ("effective", "effect")]:
+        assert porter_stem(w) == st, (w, porter_stem(w), st)
+
+
+def test_meteor_corpus_is_micro_average():
+    from vidcap_tpu.metrics.meteor import _segment_stats, meteor
+    gts = {"v1": [["a", "man", "is", "running"]],
+           "v2": [["cat", "cat", "dog"]]}
+    res = {"v1": ["a", "man", "is", "running"], "v2": ["cat", "dog"]}
+    system, per = meteor(gts, res)
+    # per-segment scores match the sentence scorer
+    assert per["v1"] == pytest.approx(0.54528503, abs=1e-7)
+    # the system score applies the formula ONCE to summed stats — it is NOT
+    # the mean of the segment scores (the jar's EVAL aggregation)
+    st = _segment_stats(gts["v1"][0], res["v1"])
+    st.add(_segment_stats(gts["v2"][0], res["v2"]))
+    assert system == pytest.approx(st.score(), abs=1e-12)
+    assert abs(system - (per["v1"] + per["v2"]) / 2) > 1e-4
+
+
+def test_meteor_empty_inputs():
+    from vidcap_tpu.metrics.meteor import meteor, meteor_sentence
+    assert meteor_sentence([[]], ["a"]) == 0.0
+    assert meteor_sentence([["a"]], []) == 0.0
+    system, per = meteor({"v": [["a"]]}, {"v": []})
+    assert system == 0.0 and per["v"] == 0.0

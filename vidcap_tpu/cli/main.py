@@ -126,7 +126,7 @@ def cmd_extract(args) -> int:
 def cmd_prepare(args) -> int:
     cfg = get_preset(args.preset)
     from vidcap_tpu.data.prepare import prepare
-    prepare(cfg.data, args.annotations)
+    prepare(cfg.data, args.annotations, mapping=args.mapping)
     return 0
 
 
@@ -208,6 +208,9 @@ def main(argv=None) -> int:
                              "canonical data layout")
     common(pr)
     pr.add_argument("annotations", nargs="+")
+    pr.add_argument("--mapping", default=None,
+                    help="MSVD youtube_mapping.txt fixing the canonical "
+                         "vid1..vid1970 split ordering")
     pr.set_defaults(fn=cmd_prepare)
 
     cv = sub.add_parser("convert",

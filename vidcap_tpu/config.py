@@ -62,6 +62,12 @@ class DecodeConfig:
     early_exit: bool = True               # serving decodes (greedy + beam):
     #   lax.while_loop, stop at all-finished; training rollouts and throughput
     #   benchmarks always use the static scan
+    finished_pool: str = "auto"           # beam finished-hypothesis handling:
+    #   "off"  = slot-blocking (finished beams hold an alive slot at zero cost;
+    #            cheapest, and with length_penalty=0 provably same-score)
+    #   "on"   = true finished pool (im2txt/t2t lineage: all K slots stay live)
+    #   "auto" = pool iff length_penalty != 0 — the only regime where the two
+    #            can disagree (tests/test_decoding.py adversarial case)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,6 +91,10 @@ class TrainConfig:
     scst_xe_mix: float = 0.0              # λ·XE anchor added to the PG loss
     # multitask
     attribute_loss_weight: float = 0.0    # >0 enables the auxiliary attribute head
+    # input pipeline
+    prefetch_depth: int = 0               # >0: host-side background prefetch of
+    #   that many batches (exact resume preserved — the consumer-side iterator
+    #   state ships with each batch)
     # checkpointing
     checkpoint_dir: str = "checkpoints"
     checkpoint_every: int = 1000

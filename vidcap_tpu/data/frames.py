@@ -69,19 +69,25 @@ def decode_video_frames(path: str, num_frames: int) -> np.ndarray:
             "without it") from e
     cap = cv2.VideoCapture(path)
     total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-    want = set(uniform_frame_indices(total, num_frames).tolist())
+    # CAP_PROP_FRAME_COUNT is a container hint, not a guarantee — some codecs
+    # report 0 (or junk). When unreliable, decode everything and sample after.
+    want = (set(uniform_frame_indices(total, num_frames).tolist())
+            if total > 0 else None)
     frames: List[np.ndarray] = []
     i = 0
     while True:
         ok, frame = cap.read()
         if not ok:
             break
-        if i in want:
+        if want is None or i in want:
             frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
         i += 1
     cap.release()
     if not frames:
         raise RuntimeError(f"no frames decoded from {path}")
+    if want is None and len(frames) > num_frames:
+        idx = uniform_frame_indices(len(frames), num_frames)
+        frames = [frames[j] for j in idx.tolist()]
     while len(frames) < num_frames:      # short/corrupt videos: repeat last
         frames.append(frames[-1])
     return np.stack(frames[:num_frames])

@@ -76,6 +76,8 @@ class CaptionDataset:
             for c in caps:
                 tok_rows.append(self.vocab.encode_caption(c, cfg.max_caption_len))
                 vid_rows.append(vi)
+        if not tok_rows:  # caption-less split (decode-only eval): keep 2-D shape
+            tok_rows = np.zeros((0, cfg.max_caption_len), dtype=np.int32)
         self.tokens = np.asarray(tok_rows, dtype=np.int32)          # [M, L]
         self.caption_video_idx = np.asarray(vid_rows, dtype=np.int32)  # [M]
         self.mask = (self.tokens != 0).astype(np.float32)
@@ -109,7 +111,16 @@ class CaptionDataset:
             video_ids = json.load(f)
         with open(os.path.join(d, f"{name}_captions.json")) as f:
             all_captions = json.load(f)
-        captions = {v: all_captions[v] for v in video_ids}
+        # MSR-VTT test-server splits list videos with zero sentences; keep the
+        # video with an empty caption list instead of dying on a KeyError
+        # (decode-only eval still needs the row aligned with its features).
+        missing = [v for v in video_ids if v not in all_captions]
+        if missing:
+            import sys
+            print(f"[vidcap] {name}_{split}: {len(missing)} video(s) have no "
+                  f"captions (e.g. {missing[0]!r}); loading with empty "
+                  f"reference lists", file=sys.stderr)
+        captions = {v: all_captions.get(v, []) for v in video_ids}
         vocab_path = os.path.join(d, f"{name}_vocab.json")
         vocab = Vocab.load(vocab_path) if os.path.exists(vocab_path) else None
         return cls(feats, video_ids, captions, cfg, vocab=vocab)

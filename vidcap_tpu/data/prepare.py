@@ -30,6 +30,22 @@ from vidcap_tpu.data.vocab import build_vocab
 _MSVD_SPLITS = {"train": (0, 1200), "val": (1200, 1300), "test": (1300, 1970)}
 
 
+def parse_msvd_mapping(path: str) -> Dict[str, int]:
+    """The youtube2text ``youtube_mapping.txt``: lines of
+    ``<YoutubeID>_<Start>_<End> vidN`` — the dataset's FIXED video ordering
+    that defines the canonical 1200/100/670 split. Returns {video_key: N}."""
+    order: Dict[str, int] = {}
+    with open(path, encoding="utf-8", errors="ignore") as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) != 2 or not parts[1].startswith("vid"):
+                continue
+            order[parts[0]] = int(parts[1][3:])
+    if not order:
+        raise ValueError(f"no 'key vidN' lines found in {path}")
+    return order
+
+
 def parse_msvd_csv(path: str) -> Dict[str, List[str]]:
     """The MSVD corpus CSV: columns include VideoID, Start, End, Language,
     Description. English rows only; video key = f'{VideoID}_{Start}_{End}'."""
@@ -69,16 +85,37 @@ def parse_msrvtt_json(*paths: str) -> Tuple[Dict[str, List[str]],
     return dict(caps), dict(splits)
 
 
-def prepare(cfg: DataConfig, annotations: List[str]) -> None:
-    """Write the canonical files for cfg.dataset from the given annotation paths."""
+def prepare(cfg: DataConfig, annotations: List[str],
+            mapping: str = None) -> None:
+    """Write the canonical files for cfg.dataset from the given annotation paths.
+
+    ``mapping`` (MSVD only): path to the youtube2text ``youtube_mapping.txt``
+    that fixes the canonical vid1..vid1970 ordering; without it the split
+    falls back to sorted caption keys — NOT the standard split, results are
+    not comparable to published numbers (warned loudly)."""
     os.makedirs(cfg.data_dir, exist_ok=True)
     ds = cfg.dataset
     if ds == "msvd":
         caps = parse_msvd_csv(annotations[0])
-        vids = sorted(caps.keys())
-        splits = {name: vids[a:b] for name, (a, b) in _MSVD_SPLITS.items()}
-        # clamp to actual corpus size
-        splits = {k: [v for v in vs if v in caps] for k, vs in splits.items()}
+        if mapping:
+            order = parse_msvd_mapping(mapping)
+            unknown = [v for v in order if v not in caps]
+            if unknown:
+                print(f"[vidcap] warning: {len(unknown)} mapped video(s) have "
+                      f"no English captions (e.g. {unknown[0]!r})")
+            vids = sorted((v for v in order if v in caps),
+                          key=lambda v: order[v])
+            # split by the vid index itself (vid1..1200 / 1201..1300 /
+            # 1301..1970) so missing-caption videos never shift the boundaries
+            splits = {name: [v for v in vids if a < order[v] <= b]
+                      for name, (a, b) in _MSVD_SPLITS.items()}
+        else:
+            print("[vidcap] WARNING: no --mapping youtube_mapping.txt given — "
+                  "falling back to a sorted-key split, which is NOT the "
+                  "canonical MSVD 1200/100/670 split; scores will not be "
+                  "comparable to published results")
+            vids = sorted(caps.keys())
+            splits = {name: vids[a:b] for name, (a, b) in _MSVD_SPLITS.items()}
     elif ds == "msrvtt":
         caps, splits = parse_msrvtt_json(*annotations)
     else:

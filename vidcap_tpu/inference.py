@@ -169,11 +169,22 @@ class Captioner:
                             {"params": p}, st, tok, K, bf16,
                             method=VidCapModel.step_beam)
 
-                    toks, _ = beam_decode(
-                        beam_step, state, batch=B,
-                        max_len=self.max_len, beam_width=K, vocab_size=pv,
-                        length_penalty=self.cfg.decode.length_penalty,
-                        early_exit=self.cfg.decode.early_exit)
+                    lp = self.cfg.decode.length_penalty
+                    pool = self.cfg.decode.finished_pool
+                    use_pool = pool == "on" or (pool == "auto" and lp != 0.0)
+                    if use_pool:
+                        from vidcap_tpu.models.decoding import beam_decode_pool
+                        toks, _ = beam_decode_pool(
+                            beam_step, state, batch=B,
+                            max_len=self.max_len, beam_width=K, vocab_size=pv,
+                            length_penalty=lp,
+                            early_exit=self.cfg.decode.early_exit)
+                    else:
+                        toks, _ = beam_decode(
+                            beam_step, state, batch=B,
+                            max_len=self.max_len, beam_width=K, vocab_size=pv,
+                            length_penalty=lp,
+                            early_exit=self.cfg.decode.early_exit)
                     return toks
                 return jax.jit(decode)
 

@@ -314,6 +314,152 @@ def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
     return alive_seq[bidx, best], scores[bidx, best]
 
 
+def beam_decode_pool(step_fn, state, batch: int, max_len: int,
+                     beam_width: int, vocab_size: int,
+                     length_penalty: float = 0.0,
+                     recurrent_only_gather: bool = True,
+                     early_exit: bool = False) -> Tuple[Array, Array]:
+    """Beam search with a TRUE finished pool (im2txt/tensor2tensor lineage).
+
+    Differs from :func:`beam_decode` (slot-blocking): when a hypothesis emits
+    <eos> it moves to a fixed-shape finished pool ([B, K] best-finished), and
+    ALL K alive slots keep exploring live continuations — a finished beam never
+    occupies an alive slot emitting PAD. Slot-blocking can prune an alive
+    continuation that would ultimately score higher than a finished beam it
+    keeps carrying (see tests/test_decoding.py adversarial toy-LM case); the
+    classic sess.run-per-token beams this framework replaces (SURVEY.md §3.3)
+    keep completed captions in a separate list exactly like this pool.
+
+    Shapes stay static: the pool is a [B, K] score table + [B, K, L] token
+    table, merged with the ≤K(K+1) per-step <eos> candidates by one top_k.
+
+    Returns (tokens i32[B, L] best overall, scores f32[B]).
+    """
+    K, V = beam_width, vocab_size
+    B = batch
+    NEG = -1e30
+
+    def lp_factor(lengths):
+        if length_penalty == 0.0:
+            return jnp.ones_like(lengths)
+        return ((5.0 + lengths) / 6.0) ** length_penalty
+
+    from vidcap_tpu.models.decoder import DecoderState
+
+    def gather_state(st, flat_src):
+        if recurrent_only_gather and isinstance(st, DecoderState):
+            return DecoderState(h=st.h[:, flat_src], c=st.c[:, flat_src],
+                                keys=st.keys, values=st.values,
+                                frame_mask=st.frame_mask)
+
+        def gather_rows(x):
+            if x.ndim >= 1 and x.shape[0] == B * K:
+                return x[flat_src]
+            if x.ndim >= 2 and x.shape[1] == B * K:
+                return x[:, flat_src]
+            return x
+
+        return jax.tree_util.tree_map(gather_rows, st)
+
+    def step(carry, t):
+        st, prev_tok, alive_logp, alive_seq, fin_logp, fin_seq = carry
+        st, logits = step_fn(st, prev_tok)                   # [B*K, V]
+
+        lse = jax.scipy.special.logsumexp(
+            logits.astype(jnp.float32), axis=-1)             # [B*K]
+        # top-(K+1) per row: even if a row's <eos> ranks in its top K+1, the
+        # row still offers ≥ K live continuations to the alive competition
+        tv, ti = per_row_topk_iterative(logits, K + 1)       # [B*K, K+1]
+        logp_k = (tv.astype(jnp.float32) - lse[:, None]).reshape(B, K, K + 1)
+        idx_k = ti.reshape(B, K, K + 1).astype(jnp.int32)
+
+        cand = alive_logp[:, :, None] + logp_k               # [B, K, K+1]
+        # at t=0 all beams are identical — keep only beam 0's candidates
+        beam_mask = jnp.where(
+            (t == 0) & (jnp.arange(K)[None, :, None] > 0), NEG, 0.0)
+        cand = cand + beam_mask
+        is_eos = idx_k == EOS
+
+        # ---- finished pool: merge <eos> candidates (normalized at their
+        # finish length t+1) with the existing pool, keep the best K
+        eos_scores = jnp.where(
+            is_eos, cand / lp_factor(jnp.float32(t + 1)), NEG
+        ).reshape(B, K * (K + 1))
+        # candidate sequences: parent alive row + <eos> written at position t
+        par_seq = jnp.broadcast_to(
+            alive_seq[:, :, None, :], (B, K, K + 1, max_len)
+        ).reshape(B, K * (K + 1), max_len)
+        eos_seq = par_seq.at[:, :, t].set(EOS)
+        pool_scores = jnp.concatenate([fin_logp, eos_scores], axis=1)
+        pool_seq = jnp.concatenate([fin_seq, eos_seq], axis=1)
+        new_fin_logp, fin_src = jax.lax.top_k(pool_scores, K)      # [B, K]
+        new_fin_seq = jnp.take_along_axis(
+            pool_seq, fin_src[:, :, None], axis=1)                 # [B, K, L]
+
+        # ---- alive: best K NON-eos candidates keep exploring
+        live = jnp.where(is_eos, NEG, cand).reshape(B, K * (K + 1))
+        top_logp, top_idx = jax.lax.top_k(live, K)                 # [B, K]
+        src_beam = top_idx // (K + 1)
+        src_pos = top_idx % (K + 1)
+        bidx = jnp.arange(B)[:, None]
+        new_tok = idx_k[bidx, src_beam, src_pos]                   # [B, K]
+        new_seq = alive_seq[bidx, src_beam]
+        new_seq = new_seq.at[:, :, t].set(new_tok)
+
+        flat_src = (bidx * K + src_beam).reshape(B * K)
+        st = gather_state(st, flat_src)
+        return (st, new_tok.reshape(B * K), top_logp, new_seq,
+                new_fin_logp, new_fin_seq), None
+
+    alive_seq = jnp.zeros((B, K, max_len), jnp.int32)
+    alive_logp = jnp.zeros((B, K), jnp.float32)
+    fin_logp = jnp.full((B, K), NEG, jnp.float32)
+    fin_seq = jnp.zeros((B, K, max_len), jnp.int32)
+    prev_tok = jnp.full((B * K,), BOS, jnp.int32)
+    carry = (state, prev_tok, alive_logp, alive_seq, fin_logp, fin_seq)
+
+    if early_exit:
+        def cond(tc):
+            t, c = tc
+            alive_lp, fin_lp = c[2], c[4]
+            # an alive beam's future score only gets worse (logp adds ≤ 0);
+            # its best possible normalized score uses the most favourable
+            # length factor. Stop when even that can't displace the pool min.
+            if length_penalty == 0.0:
+                best_possible = alive_lp.max(-1)
+            else:
+                lens = jnp.arange(1, max_len + 1, dtype=jnp.float32)
+                best_factor = (jnp.min(lp_factor(lens))
+                               if length_penalty >= 0 else
+                               jnp.max(lp_factor(lens)))
+                best_possible = alive_lp.max(-1) / best_factor
+            pool_min = fin_lp.min(-1)
+            return (t < max_len) & jnp.any(best_possible > pool_min)
+
+        def body(tc):
+            t, c = tc
+            return t + 1, step(c, t)[0]
+
+        _, (st, _, alive_logp, alive_seq, fin_logp, fin_seq) = \
+            jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+    else:
+        (st, _, alive_logp, alive_seq, fin_logp, fin_seq), _ = jax.lax.scan(
+            step, carry, jnp.arange(max_len))
+
+    # best finished beats best alive-at-max_len (alive sequences have no <eos>;
+    # normalize them at full length like the classic implementations do)
+    alive_norm = alive_logp / lp_factor(jnp.float32(max_len))
+    bidx = jnp.arange(B)
+    best_fin = jnp.argmax(fin_logp, axis=-1)
+    best_alive = jnp.argmax(alive_norm, axis=-1)
+    use_fin = fin_logp[bidx, best_fin] >= alive_norm[bidx, best_alive]
+    toks = jnp.where(use_fin[:, None],
+                     fin_seq[bidx, best_fin], alive_seq[bidx, best_alive])
+    scores = jnp.where(use_fin, fin_logp[bidx, best_fin],
+                       alive_norm[bidx, best_alive])
+    return toks, scores
+
+
 def tile_state(state, beam_width: int, batch: int):
     """Repeat each batch row K times along the batch axis of every state leaf.
 

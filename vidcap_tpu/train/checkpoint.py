@@ -79,6 +79,33 @@ class CheckpointManager:
             iter_state = IteratorState(seed=s, epoch=e, position=p)
         return new_state, iter_state
 
+    def restore_params_only(self, state: TrainState,
+                            step: Optional[int] = None,
+                            with_iter: bool = False):
+        """Cross-stage restore: params/step/rng come from the checkpoint, the
+        optimizer state is re-initialised fresh from ``state.tx``.
+
+        Needed when the optimizer STRUCTURE changed between stages (e.g. the
+        xe adam chain → the e2e multi_transform chain): restoring the old
+        opt_state into the new template is a structural error, and carrying
+        XE's adam moments into a different objective would be wrong anyway."""
+        step = step if step is not None else self._mgr.latest_step()
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore())
+        new_state = state.replace(
+            params=restored["params"],
+            opt_state=state.tx.init(restored["params"]),
+            step=restored["step"],
+            rng=jax.random.wrap_key_data(restored["rng"]))
+        if not with_iter:
+            return new_state
+        iter_state = None
+        raw = restored.get("iter_state")
+        if raw is not None and int(raw[0]) >= 0:
+            from vidcap_tpu.data.pipeline import IteratorState
+            s, e, p = [int(x) for x in raw]
+            iter_state = IteratorState(seed=s, epoch=e, position=p)
+        return new_state, iter_state
+
     def wait(self) -> None:
         self._mgr.wait_until_finished()
 

@@ -69,7 +69,17 @@ def train(
     ckpt = CheckpointManager(cfg.train.checkpoint_dir)
     iter_state = None
     if resume and ckpt.latest_step() is not None:
-        state, iter_state = ckpt.restore(state, with_iter=True)
+        try:
+            state, iter_state = ckpt.restore(state, with_iter=True)
+        except (ValueError, KeyError, TypeError):
+            # opt_state structure mismatch — the checkpoint came from a stage
+            # with a different optimizer chain (xe→e2e). Params carry over;
+            # the optimizer starts fresh for the new objective.
+            import sys
+            print("[vidcap] checkpoint opt_state doesn't match this stage's "
+                  "optimizer — restoring params only, optimizer re-initialised",
+                  file=sys.stderr)
+            state, iter_state = ckpt.restore_params_only(state, with_iter=True)
 
     if make_step is None:
         if cfg.train.stage in ("xe", "e2e"):
@@ -113,6 +123,9 @@ def train(
     # exact remaining stream (SIGKILL-resume parity, SURVEY.md §5)
     it = DeterministicBatcher(dataset, cfg.train.batch_size,
                               state=iter_state, seed=cfg.train.seed)
+    if cfg.train.prefetch_depth > 0:
+        from vidcap_tpu.data.pipeline import PrefetchBatcher
+        it = PrefetchBatcher(it, depth=cfg.train.prefetch_depth)
     t_last, s_last = time.time(), start
     for i in range(start, num_steps):
         batch = next(it)
@@ -128,6 +141,8 @@ def train(
             ckpt.save(state, iter_state=it.state)
         if eval_every > 0 and (i + 1) % eval_every == 0:
             maybe_eval(i + 1, state)
+    if hasattr(it, "close"):
+        it.close()
     ckpt.wait()
     ckpt.close()
     if best_ckpt is not None:

@@ -56,27 +56,38 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
             optax.linear_schedule(0.0, t.learning_rate, t.warmup_steps)
     else:
         schedule = t.learning_rate
+    def _adam(sched):
+        """One inner optimizer, shared by every parameter group — weight decay
+        and the warmup schedule apply identically whichever group owns the
+        param (a per-group rebuild that silently drops adamw/warmup was a
+        round-1 advisor finding)."""
+        if t.weight_decay > 0:
+            return optax.adamw(sched, weight_decay=t.weight_decay)
+        return optax.adam(sched)
+
     chain = [optax.clip_by_global_norm(t.grad_clip_norm)]
-    if t.weight_decay > 0:
-        chain.append(optax.adamw(schedule, weight_decay=t.weight_decay))
-    else:
-        chain.append(optax.adam(schedule))
-    tx = optax.chain(*chain)
     if t.stage == "e2e" and t.backbone_lr_scale != 1.0:
-        # smaller LR through the CNN (SURVEY.md §3.5): scale backbone grads
+        # smaller LR through the CNN (SURVEY.md §3.5): scale the SCHEDULE, so
+        # the backbone group keeps warmup shape + weight decay, just rescaled.
+        scale = t.backbone_lr_scale
+        bb_schedule = ((lambda count: schedule(count) * scale)
+                       if callable(schedule) else schedule * scale)
+
         def scale_backbone(path_tree):
             return jax.tree_util.tree_map_with_path(
                 lambda p, _: "backbone" if any(
                     getattr(k, "key", None) == "backbone" for k in p)
                 else "rest", path_tree)
-        tx = optax.chain(
-            optax.clip_by_global_norm(t.grad_clip_norm),
-            optax.multi_transform(
-                {"backbone": optax.adam(t.learning_rate * t.backbone_lr_scale),
-                 "rest": optax.adam(schedule)},
-                scale_backbone),
-        )
-    return tx
+
+        # NOTE: multi_transform's opt_state STRUCTURE differs from the plain
+        # adam chain, so a staged xe→e2e resume must restore params only and
+        # re-init the optimizer (train.loop handles this via fresh_opt_state).
+        chain.append(optax.multi_transform(
+            {"backbone": _adam(bb_schedule), "rest": _adam(schedule)},
+            scale_backbone))
+    else:
+        chain.append(_adam(schedule))
+    return optax.chain(*chain)
 
 
 def create_train_state(cfg: Config, params, seed: Optional[int] = None
