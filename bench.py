@@ -6,10 +6,19 @@ fully on-device batched beam search. Target ≥ 2,000 captions/sec/chip
 
 Runs on whatever backend is active (real TPU chip under the driver). Uses
 synthetic MSR-VTT-shaped data — the metric measures the decode engine, not disk IO.
+
+Robustness (VERDICT r1 next #6): B=208 sits on a VMEM cliff (216→8,589,
+224→6,509 caps/s); a compiler update or shape nudge could push it over. The
+harness measures B=208 first and, only if the result looks degraded
+(< CLIFF_THRESHOLD), re-measures at the fallback batch sizes and reports the
+best — the healthy path still costs exactly one compile. Per-B results and an
+XLA-cost-analysis MFU estimate land in BENCH_DETAILS.json (stdout stays one
+line).
 """
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -17,11 +26,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Batch sweep (bf16 logits, caps/s): 128→8,741  160→9,899  176→9,552
+# 192→10,017  208→10,497  216→8,589  224→6,509. B=208 is the VMEM edge.
+BATCH_CANDIDATES = (208, 192, 160)
+CLIFF_THRESHOLD = 9_500.0       # healthy B=208 lands ~9.6k–10.5k run-to-run
+PEAK_FLOPS = float(os.environ.get("VIDCAP_PEAK_FLOPS", 197e12))  # v5e bf16
+
 
 def bench_beam_captions_per_sec(batch_size: int = 208, iters: int = 8,
-                                warmup: int = 2) -> float:
-    # Batch sweep (bf16 logits, caps/s): 128→8,741  160→9,899  176→9,552
-    # 192→10,017  208→10,497  216→8,589  224→6,509. B=208 is the VMEM edge.
+                                warmup: int = 2):
+    """Returns (captions/s, flops_of_the_timed_program_or_None)."""
     from vidcap_tpu.utils.compilation_cache import enable_compilation_cache
     enable_compilation_cache()
     from vidcap_tpu.config import get_preset
@@ -38,9 +52,7 @@ def bench_beam_captions_per_sec(batch_size: int = 208, iters: int = 8,
     max_len = cfg.decode.max_len
     pv = ((vocab_size + 127) // 128) * 128
     rng = np.random.default_rng(0)
-    feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
 
-    @jax.jit
     def decode(p, f):
         state = model.apply({"params": p}, f, method=VidCapModel.init_state)
         state = tile_recurrent(state, K)
@@ -64,22 +76,76 @@ def bench_beam_captions_per_sec(batch_size: int = 208, iters: int = 8,
     def decode_many(p, fs):
         return jax.lax.map(lambda f: decode(p, f), fs)
 
+    # FLOP count: XLA cost_analysis does NOT multiply loop bodies by their
+    # trip count (a whole 8×30-step program reported ~2 steps' worth), so
+    # analyze ONE beam step and scale by max_len·iters. Best-effort.
+    flops = None
+    try:
+        state_shape = jax.eval_shape(
+            lambda p, f: tile_recurrent(
+                model.apply({"params": p}, f, method=VidCapModel.init_state),
+                K),
+            params, jnp.zeros((B, T, D), jnp.float32))
+        tok_shape = jax.ShapeDtypeStruct((B * K,), jnp.int32)
+
+        def one_step(p, st, tok):
+            return model.apply({"params": p}, st, tok, K, True,
+                               method=VidCapModel.step_beam)
+
+        ca = (jax.jit(one_step)
+              .lower(params, state_shape, tok_shape).compile()
+              .cost_analysis())
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        step_flops = float(ca.get("flops", 0.0))
+        if step_flops:
+            flops = step_flops * max_len * iters
+    except Exception:   # cost analysis is best-effort; never fail the bench
+        pass
+
     np.asarray(decode_many(params, stacked))          # compile + warm
     t0 = time.perf_counter()
     toks = decode_many(params, stacked)
     np.asarray(toks)
     dt = time.perf_counter() - t0
-    return B * iters / dt
+    return B * iters / dt, (flops, dt)
 
 
 def main() -> int:
-    cps = bench_beam_captions_per_sec()
     target = 2000.0
+    per_b = {}
+    best_b, best, best_aux = None, 0.0, (None, None)
+    for b in BATCH_CANDIDATES:
+        cps, aux = bench_beam_captions_per_sec(batch_size=b)
+        per_b[str(b)] = round(cps, 2)
+        if cps > best:
+            best_b, best, best_aux = b, cps, aux
+        if cps >= CLIFF_THRESHOLD:
+            break       # healthy — don't pay fallback compiles
+
+    flops, dt = best_aux
+    mfu = (flops / dt / PEAK_FLOPS) if (flops and dt) else None
+    details = {
+        "per_batch_caps_per_sec": per_b,
+        "chosen_batch": best_b,
+        "timed_program_flops": flops,
+        "timed_seconds": dt,
+        "mfu_vs_peak_bf16": round(mfu, 4) if mfu is not None else None,
+        "peak_flops_assumed": PEAK_FLOPS,
+        "backend": jax.devices()[0].platform,
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAILS.json"), "w") as f:
+            json.dump(details, f, indent=1)
+    except OSError:
+        pass
+
     print(json.dumps({
         "metric": "captions_per_sec_per_chip_beam5",
-        "value": round(cps, 2),
+        "value": round(best, 2),
         "unit": "captions/s",
-        "vs_baseline": round(cps / target, 4),
+        "vs_baseline": round(best / target, 4),
     }))
     return 0
 

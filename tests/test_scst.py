@@ -116,3 +116,55 @@ def test_scst_reward_greedy_equals_eval_cider(tiny_cfg, tiny_dataset):
                 cand.append(int(t))
         host = scorer.score(int(batch.video_idx[b]), cand)
         np.testing.assert_allclose(dev[b], host, rtol=1e-4, atol=1e-5)
+
+
+def test_e2e_scst_step_through_backbone(tiny_cfg, tiny_dataset, monkeypatch):
+    """VERDICT r1 next #10 (SURVEY §3.5 × §3.2): ONE SCST step through the
+    full e2e stack — pixels → tiny IRv2 → sampling+greedy rollouts → on-device
+    CIDEr reward → PG gradients flowing INTO the CNN. Finite loss/grads, and
+    the backbone params actually move."""
+    import jax.numpy as jnp
+    from vidcap_tpu.models import backbone as bb_mod
+
+    orig = bb_mod.InceptionResNetV2
+    monkeypatch.setattr(
+        bb_mod, "InceptionResNetV2",
+        lambda **kw: orig(width_mult=0.0625, depth=(1, 1, 1), **kw))
+
+    cfg = dataclasses.replace(
+        tiny_cfg,
+        data=dataclasses.replace(tiny_cfg.data, num_frames=2, frame_size=149,
+                                 feature_dim=96),   # 1536 * 0.0625
+        model=dataclasses.replace(tiny_cfg.model, use_backbone=True,
+                                  use_pallas_decoder=False),
+        train=dataclasses.replace(tiny_cfg.train, stage="scst",
+                                  scst_learning_rate=1e-4, batch_size=2,
+                                  donate_state=False))
+
+    model = create_model(cfg, vocab_size=tiny_dataset.vocab.size)
+    params = init_params(model, cfg, jax.random.key(0))
+    state = create_train_state(cfg, params)
+
+    tables = tables_from_dataset(tiny_dataset)
+    scst = make_scst_step(model, cfg, tables=tables)
+
+    B, T = 2, 2
+    rng = np.random.default_rng(0)
+    batch = {
+        "features": jnp.asarray(rng.normal(size=(B, T, 149, 149, 3)),
+                                jnp.float32),
+        "tokens": jnp.zeros((B, cfg.data.max_caption_len), jnp.int32),
+        "mask": jnp.ones((B, cfg.data.max_caption_len), jnp.float32),
+        "attributes": jnp.zeros((B, cfg.data.num_attributes), jnp.float32),
+        "video_idx": jnp.asarray(rng.integers(0, tiny_dataset.num_videos,
+                                              size=(B,)), jnp.int32),
+    }
+    new_state, m = scst(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["reward_sample"]))
+    assert np.isfinite(float(m["grad_norm"]))
+    # PG gradients reach the CNN: backbone params moved
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        state.params["backbone"], new_state.params["backbone"])
+    assert max(jax.tree_util.tree_leaves(diff)) > 0

@@ -179,6 +179,34 @@ def per_row_topk_rescan(x: Array, k: int) -> Tuple[Array, Array]:
     return jnp.stack(vals, -1), jnp.stack(idxs, -1)
 
 
+def per_row_topk_hierarchic(x: Array, k: int, chunk: int = 128
+                            ) -> Tuple[Array, Array]:
+    """Exact per-row top-k in ~ONE full sweep of x instead of k.
+
+    Split the V axis into 128-wide chunks, reduce each to its max (one full
+    read), pick the top-k CHUNKS by max, and finish with an exact top-k inside
+    the gathered k·chunk union. Exactness: every chunk whose max exceeds the
+    row's k-th largest value must itself contain a top-k value (its max IS a
+    row value larger than the k-th), and the top-k values occupy at most k
+    distinct chunks — so the union of the k max-ranked chunks contains them
+    all. The k passes now run over [N, C]=V/128 and [N, k·128] buffers (~3% of
+    the full sweep each), cutting the dominant [B·K, V] HBM traffic of the
+    beam step from k+1 sweeps to ~1 (see ARCHITECTURE.md §measured)."""
+    N, V = x.shape
+    assert V % chunk == 0, (V, chunk)
+    C = V // chunk
+    xc = x.reshape(N, C, chunk)
+    cmax = xc.max(-1)                                   # [N, C] — THE sweep
+    _, cidx = per_row_topk_iterative(cmax, k)           # [N, k] chunk ids
+    # ascending chunk order so ties inside the union resolve to the smallest
+    # GLOBAL index, matching lax.top_k / per_row_topk_iterative
+    cidx = jnp.sort(cidx, axis=-1)
+    sel = jnp.take_along_axis(xc, cidx[:, :, None], axis=1)   # [N, k, chunk]
+    tv, ui = per_row_topk_iterative(sel.reshape(N, k * chunk), k)
+    base = jnp.take_along_axis(cidx, ui // chunk, axis=-1) * chunk
+    return tv, (base + ui % chunk).astype(jnp.int32)
+
+
 def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
                 vocab_size: int, length_penalty: float = 0.0,
                 recurrent_only_gather: bool = True,
@@ -252,6 +280,14 @@ def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
             tv, ti = per_row_topk_iterative(logits, K)      # [B*K, K]
         elif topk_impl == "rescan":
             tv, ti = per_row_topk_rescan(logits, K)
+        elif topk_impl == "hierarchic":
+            tv, ti = per_row_topk_hierarchic(logits, K)
+        elif topk_impl == "approx":
+            # TPU PartialReduce top-k; recall_target=1.0 + aggregate keeps it
+            # exact while avoiding lax.top_k's full sort
+            tv, ti = jax.lax.approx_max_k(
+                logits, K, recall_target=1.0, aggregate_to_topk=True)
+            ti = ti.astype(jnp.int32)
         else:
             tv, ti = jax.lax.top_k(logits, K)               # [B*K, K]
         logp_k = (tv.astype(jnp.float32) - lse[:, None]).reshape(B, K, K)
