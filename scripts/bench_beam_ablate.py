@@ -48,7 +48,7 @@ def run(variant: str, B: int = 208, iters: int = 8):
         def step_noproj(st, tok):
             st, h = model.apply({"params": p}, st, tok, K,
                                 method=VidCapModel.step_beam_hidden)
-            w = p["decoder"]["out"]["kernel"][:, :K].astype(h.dtype)
+            w = p["decoder"]["out_proj"]["kernel"][:, :K].astype(h.dtype)
             return st, h @ w                       # [B*K, K] mini-logits
 
         NEG = -1e30

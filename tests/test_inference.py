@@ -71,3 +71,33 @@ def test_decode_batch_frame_mask_matters(tiny_cfg, tiny_dataset):
         b = cap.decode_batch(garbage, method=method, beam_width=3,
                              frame_mask=mask)
         np.testing.assert_array_equal(a, b)
+
+
+def test_beam_finished_pool_auto_via_captioner(tiny_cfg, tiny_dataset):
+    """decode.finished_pool='auto' routes the Captioner's beam through the
+    finished-pool implementation exactly when length_penalty != 0; output
+    stays a valid, deterministic caption batch."""
+    import dataclasses
+    feats = np.asarray(
+        np.random.default_rng(5).normal(
+            size=(4, tiny_cfg.data.num_frames, tiny_cfg.data.feature_dim)),
+        np.float32)
+
+    lp_cfg = dataclasses.replace(
+        tiny_cfg, decode=dataclasses.replace(tiny_cfg.decode,
+                                             length_penalty=1.0))
+    cap_pool = Captioner.from_checkpoint(lp_cfg, tiny_dataset,
+                                         checkpoint_dir=None)
+    a = cap_pool.decode_batch(feats, method="beam", beam_width=3)
+    b = cap_pool.decode_batch(feats, method="beam", beam_width=3)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (4, lp_cfg.decode.max_len)
+
+    # forced off → slot-blocking under the same lp still decodes fine
+    off_cfg = dataclasses.replace(
+        lp_cfg, decode=dataclasses.replace(lp_cfg.decode,
+                                           finished_pool="off"))
+    cap_off = Captioner.from_checkpoint(off_cfg, tiny_dataset,
+                                        checkpoint_dir=None)
+    c = cap_off.decode_batch(feats, method="beam", beam_width=3)
+    assert c.shape == a.shape

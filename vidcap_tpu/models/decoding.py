@@ -207,6 +207,35 @@ def per_row_topk_hierarchic(x: Array, k: int, chunk: int = 128
     return tv, (base + ui % chunk).astype(jnp.int32)
 
 
+def per_row_topk_lane(x: Array, k: int, lanes: int = 128
+                      ) -> Tuple[Array, Array]:
+    """Exact per-row top-k via a LANE-major reduction.
+
+    Same containment argument as :func:`per_row_topk_hierarchic`, but the
+    first reduction runs over the non-lane axis of [N, V/lanes, lanes]
+    (element-wise register max on the VPU — no cross-lane shuffles): a lane
+    whose column-max exceeds the row's k-th value must contain a top-k value,
+    and the top-k values occupy at most k distinct lanes, so the k max-ranked
+    lanes' columns contain them all."""
+    N, V = x.shape
+    assert V % lanes == 0, (V, lanes)
+    C = V // lanes
+    xc = x.reshape(N, C, lanes)
+    lmax = xc.max(axis=1)                               # [N, lanes] cheap axis
+    _, lidx = per_row_topk_iterative(lmax, k)           # [N, k] lane ids
+    lidx = jnp.sort(lidx, axis=-1)
+    sel = jnp.take_along_axis(
+        xc, lidx[:, None, :], axis=2)                   # [N, C, k]
+    tv, ui = per_row_topk_iterative(sel.reshape(N, C * k), k)
+    # union index ui = row_in_column * k + lane_slot; global = row*lanes + lane
+    lane = jnp.take_along_axis(lidx, ui % k, axis=-1)
+    ti = (ui // k) * lanes + lane
+    # union ordering is (column-row, lane) — not global order — so ties inside
+    # the union can resolve to a larger global index than lax.top_k would;
+    # exact values either way
+    return tv, ti.astype(jnp.int32)
+
+
 def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
                 vocab_size: int, length_penalty: float = 0.0,
                 recurrent_only_gather: bool = True,
@@ -282,6 +311,8 @@ def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
             tv, ti = per_row_topk_rescan(logits, K)
         elif topk_impl == "hierarchic":
             tv, ti = per_row_topk_hierarchic(logits, K)
+        elif topk_impl == "lane":
+            tv, ti = per_row_topk_lane(logits, K)
         elif topk_impl == "approx":
             # TPU PartialReduce top-k; recall_target=1.0 + aggregate keeps it
             # exact while avoiding lax.top_k's full sort
