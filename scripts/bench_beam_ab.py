@@ -17,8 +17,12 @@ def run(impl, B=128, iters=8):
     rng = np.random.default_rng(0)
     K = 5
 
-    bf16_logits = impl.endswith("-bf16")
-    topk = impl.removesuffix("-bf16")
+    bf16_logits = "-bf16" in impl
+    topk = impl.replace("-bf16", "")
+    unroll = 1
+    if "-u" in topk:
+        topk, u = topk.rsplit("-u", 1)
+        unroll = int(u)
 
     def decode(p, f):
         st = tile_recurrent(model.apply({"params": p}, f,
@@ -29,7 +33,8 @@ def run(impl, B=128, iters=8):
                                method=VidCapModel.step_beam)
 
         return beam_decode(sb, st, batch=B, max_len=30, beam_width=K,
-                           vocab_size=16_000, topk_impl=topk)[0]
+                           vocab_size=16_000, topk_impl=topk,
+                           unroll=unroll)[0]
 
     stacked = jnp.asarray(rng.normal(size=(iters, B, T, D)), jnp.float32)
 

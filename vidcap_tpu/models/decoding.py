@@ -240,7 +240,8 @@ def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
                 vocab_size: int, length_penalty: float = 0.0,
                 recurrent_only_gather: bool = True,
                 topk_impl: str = "iterative",
-                early_exit: bool = False) -> Tuple[Array, Array]:
+                early_exit: bool = False,
+                unroll: int = 1) -> Tuple[Array, Array]:
     """Batched beam search fully on-device (SURVEY.md C11, §3.3 "TPU build").
 
     The B×K beams are flattened into the batch dimension so every step is one
@@ -372,7 +373,7 @@ def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
             cond, body, (jnp.int32(0), carry))
     else:
         (st, _, alive_logp, alive_seq, finished), _ = jax.lax.scan(
-            step, carry, jnp.arange(max_len))
+            step, carry, jnp.arange(max_len), unroll=unroll)
 
     lengths = (alive_seq != PAD).astype(jnp.float32).sum(-1)
     scores = lp_norm(alive_logp, lengths)

@@ -89,3 +89,48 @@ def make_sharded_xe_step(model: VidCapModel, cfg: Config, mesh: Mesh,
         return base_step(state, batch)
 
     return jax.jit(run, donate_argnums=(0,) if cfg.train.donate_state else ())
+
+
+def make_sharded_decode(model: VidCapModel, cfg: Config, mesh: Mesh,
+                        vocab_size: int, method: str = "beam",
+                        beam_width: int = 5) -> Callable:
+    """Multi-chip serving (SURVEY.md §2.3 applied to inference): one jitted
+    decode with the video batch sharded over the 'data' axis — every chip
+    decodes its own shard of videos, collectives only where the vocab-TP seam
+    demands them. Returns ``fn(params, feats [B, T, D]) → tokens i32[B, L]``;
+    B must divide by the data-axis size.
+
+    The beam path keeps the full per-video K-row block inside one shard (rows
+    are laid out video-major, B·K = data-sharded B × replicated K), so the
+    per-step beam gathers never cross chips."""
+    from vidcap_tpu.models.decoding import (beam_decode, greedy_decode,
+                                            tile_recurrent)
+
+    feats_sh = NamedSharding(mesh, P("data"))
+    pv = max(cfg.data.padded_vocab, ((vocab_size + 127) // 128) * 128)
+    max_len = cfg.decode.max_len
+    bf16 = cfg.model.compute_dtype == "bfloat16"
+
+    def run(params, feats):
+        feats = jax.lax.with_sharding_constraint(feats, feats_sh)
+        B = feats.shape[0]
+        state = model.apply({"params": params}, feats,
+                            method=VidCapModel.init_state)
+        if method == "greedy":
+            def step(st, tok):
+                return model.apply({"params": params}, st, tok, bf16,
+                                   method=VidCapModel.step)
+            return greedy_decode(step, state, B, max_len,
+                                 with_logp=False).tokens
+        state = tile_recurrent(state, beam_width)
+
+        def beam_step(st, tok):
+            return model.apply({"params": params}, st, tok, beam_width, bf16,
+                               method=VidCapModel.step_beam)
+
+        toks, _ = beam_decode(beam_step, state, batch=B, max_len=max_len,
+                              beam_width=beam_width, vocab_size=pv,
+                              length_penalty=cfg.decode.length_penalty)
+        return toks
+
+    return jax.jit(run)
