@@ -113,3 +113,42 @@ def test_two_layer_decoder(tiny_cfg):
         outs.append(lg)
     np.testing.assert_allclose(scan_logits, jnp.stack(outs, 1),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_vocab_mask_bias_fold_equivalence(tiny_cfg, tiny_dataset):
+    """skip_vocab_mask=True with the -1e30 mask pre-folded into out_proj.bias
+    produces bit-identical logits to the per-step where (decoder._lstm_logits
+    docstring argument: |x·W| rounds away against -1e30 in f32 and bf16)."""
+    import copy
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vidcap_tpu.models.model import VidCapModel, create_model, init_params
+
+    cfg = tiny_cfg
+    model = create_model(cfg, vocab_size=tiny_dataset.vocab.size)
+    params = init_params(model, cfg, jax.random.key(2))
+    V = tiny_dataset.vocab.size
+    B, K = 4, 3
+    feats = jnp.asarray(
+        np.random.default_rng(9).normal(
+            size=(B, cfg.data.num_frames, cfg.data.feature_dim)), jnp.float32)
+
+    from vidcap_tpu.models.decoding import tile_recurrent
+    state = tile_recurrent(
+        model.apply({"params": params}, feats, method=VidCapModel.init_state),
+        K)
+    tok = jnp.zeros((B * K,), jnp.int32)
+
+    _, logits_where = model.apply({"params": params}, state, tok, K, True,
+                                  method=VidCapModel.step_beam)
+
+    folded = copy.deepcopy(params)
+    folded["decoder"]["out_proj"]["bias"] = (
+        folded["decoder"]["out_proj"]["bias"].at[V:].set(-1e30))
+    _, logits_fold = model.apply({"params": folded}, state, tok, K, True, True,
+                                 method=VidCapModel.step_beam)
+    np.testing.assert_array_equal(np.asarray(logits_where),
+                                  np.asarray(logits_fold))

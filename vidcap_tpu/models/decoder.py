@@ -189,7 +189,8 @@ class CaptionDecoder(nn.Module):
     # ------------------------------------------------------------------ stepping
 
     def _lstm_logits(self, state: DecoderState, emb: Array, ctx: Array,
-                     keep_compute_dtype: bool = False
+                     keep_compute_dtype: bool = False,
+                     skip_vocab_mask: bool = False
                      ) -> Tuple[DecoderState, Array]:
         """Shared LSTM stack + vocab projection given the attention context.
 
@@ -213,10 +214,14 @@ class CaptionDecoder(nn.Module):
         if not keep_compute_dtype:
             logits = logits.astype(jnp.float32)
         # mask padding vocab entries so decode strategies can never emit them
-        # (-1e30 is representable in bf16 — same 8-bit exponent as f32)
-        logits = jnp.where(
-            jnp.arange(self.padded_vocab) < self.vocab_size, logits,
-            jnp.asarray(-1e30, logits.dtype))
+        # (-1e30 is representable in bf16 — same 8-bit exponent as f32).
+        # skip_vocab_mask: callers that pre-fold the mask into out_proj.bias
+        # (bias[vocab_size:] = -1e30; bit-identical since |x·W| ≪ 2⁻⁹·1e30
+        # rounds away in both f32 and bf16) skip this full-buffer where.
+        if not skip_vocab_mask:
+            logits = jnp.where(
+                jnp.arange(self.padded_vocab) < self.vocab_size, logits,
+                jnp.asarray(-1e30, logits.dtype))
         new_state = DecoderState(h=jnp.stack(new_h), c=jnp.stack(new_c),
                                  keys=state.keys, values=state.values,
                                  frame_mask=state.frame_mask)
@@ -276,7 +281,8 @@ class CaptionDecoder(nn.Module):
         return new_state, x
 
     def step_beam(self, state: DecoderState, token: Array, beam_width: int,
-                  keep_compute_dtype: bool = False
+                  keep_compute_dtype: bool = False,
+                  skip_vocab_mask: bool = False
                   ) -> Tuple[DecoderState, Array]:
         """Beam decode step with per-VIDEO attention tensors.
 
@@ -299,7 +305,8 @@ class CaptionDecoder(nn.Module):
                        * state.frame_mask[..., None]).sum(1) / denom)  # [B, H]
             ctx = jnp.repeat(pooled, K, axis=0)
         return self._lstm_logits(state, emb, ctx,
-                                 keep_compute_dtype=keep_compute_dtype)
+                                 keep_compute_dtype=keep_compute_dtype,
+                                 skip_vocab_mask=skip_vocab_mask)
 
     # ------------------------------------------------------------------ XE path
 

@@ -73,10 +73,11 @@ class VidCapModel(nn.Module):
         return self.decoder.step(state, token, keep_compute_dtype)
 
     def step_beam(self, state: DecoderState, token: Array, beam_width: int,
-                  keep_compute_dtype: bool = False
+                  keep_compute_dtype: bool = False,
+                  skip_vocab_mask: bool = False
                   ) -> Tuple[DecoderState, Array]:
         return self.decoder.step_beam(state, token, beam_width,
-                                      keep_compute_dtype)
+                                      keep_compute_dtype, skip_vocab_mask)
 
     def step_beam_hidden(self, state: DecoderState, token: Array,
                          beam_width: int) -> Tuple[DecoderState, Array]:

@@ -102,9 +102,10 @@ def make_sharded_decode(model: VidCapModel, cfg: Config, mesh: Mesh,
 
     The beam path keeps the full per-video K-row block inside one shard (rows
     are laid out video-major, B·K = data-sharded B × replicated K), so the
-    per-step beam gathers never cross chips."""
-    from vidcap_tpu.models.decoding import (beam_decode, greedy_decode,
-                                            tile_recurrent)
+    per-step beam gathers never cross chips. Honors cfg.decode.finished_pool
+    (same auto rule as the Captioner)."""
+    from vidcap_tpu.models.decoding import (beam_decode, beam_decode_pool,
+                                            greedy_decode, tile_recurrent)
 
     feats_sh = NamedSharding(mesh, P("data"))
     pv = max(cfg.data.padded_vocab, ((vocab_size + 127) // 128) * 128)
@@ -128,9 +129,14 @@ def make_sharded_decode(model: VidCapModel, cfg: Config, mesh: Mesh,
             return model.apply({"params": params}, st, tok, beam_width, bf16,
                                method=VidCapModel.step_beam)
 
-        toks, _ = beam_decode(beam_step, state, batch=B, max_len=max_len,
-                              beam_width=beam_width, vocab_size=pv,
-                              length_penalty=cfg.decode.length_penalty)
+        lp = cfg.decode.length_penalty
+        pool = cfg.decode.finished_pool
+        decode_fn = (beam_decode_pool
+                     if pool == "on" or (pool == "auto" and lp != 0.0)
+                     else beam_decode)
+        toks, _ = decode_fn(beam_step, state, batch=B, max_len=max_len,
+                            beam_width=beam_width, vocab_size=pv,
+                            length_penalty=lp)
         return toks
 
     return jax.jit(run)
