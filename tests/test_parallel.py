@@ -172,3 +172,30 @@ def test_sharded_decode_matches_single_device(tiny_cfg, tiny_dataset):
     b_rows = (b8 == np.asarray(ref_beam)).all(axis=1).sum()
     assert g_rows >= B - B // 8, (g_rows, B)
     assert b_rows >= B - B // 8, (b_rows, B)
+
+
+def test_captioner_mesh_routing(tiny_cfg, tiny_dataset):
+    """Captioner(mesh=...) routes greedy/beam through the GSPMD sharded decode
+    (frame masks included); sampling stays on the single-device path."""
+    from vidcap_tpu.inference import Captioner
+
+    mesh = make_mesh(tiny_cfg.mesh, num_data=8, num_model=1)
+    cap = Captioner.from_checkpoint(tiny_cfg, tiny_dataset,
+                                    checkpoint_dir=None, seed=0, mesh=mesh)
+    B = 16
+    feats = np.asarray(
+        np.random.default_rng(11).normal(
+            size=(B, tiny_cfg.data.num_frames, tiny_cfg.data.feature_dim)),
+        np.float32)
+    mask = np.ones((B, tiny_cfg.data.num_frames), np.float32)
+    mask[0, 1:] = 0.0                     # short input: 1 real frame
+
+    g = cap.decode_batch(feats, method="greedy", frame_mask=mask)
+    b = cap.decode_batch(feats, method="beam", beam_width=3, frame_mask=mask)
+    s = cap.decode_batch(feats, method="sample", frame_mask=mask)
+    assert g.shape == b.shape == s.shape == (B, tiny_cfg.decode.max_len)
+    assert any(k[0] == "sharded" for k in cap._compiled)
+    assert ("sharded", "sample", B, 5) not in cap._compiled
+    # deterministic across calls
+    np.testing.assert_array_equal(
+        g, cap.decode_batch(feats, method="greedy", frame_mask=mask))

@@ -140,6 +140,19 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def _serving_mesh(cfg, sharded: bool):
+    """--sharded: decode over all visible chips (GSPMD data axis)."""
+    if not sharded:
+        return None
+    import jax
+    if jax.device_count() < 2:
+        print("[vidcap] --sharded requested but only one device visible; "
+              "single-device decode", file=sys.stderr)
+        return None
+    from vidcap_tpu.parallel.mesh import make_mesh
+    return make_mesh(cfg.mesh)
+
+
 def cmd_serve(args) -> int:
     cfg = get_preset(args.preset)
     from vidcap_tpu.inference import Captioner
@@ -147,7 +160,7 @@ def cmd_serve(args) -> int:
     dataset = _load_dataset(cfg, split="train")   # supplies the vocab
     cap = Captioner.from_checkpoint(
         cfg, dataset, args.checkpoint_dir or cfg.train.checkpoint_dir,
-        seed=args.seed)
+        seed=args.seed, mesh=_serving_mesh(cfg, args.sharded))
     server = CaptionServer(cfg, cap, batch_size=args.batch,
                            method=args.method or cfg.decode.method,
                            beam_width=args.beam or cfg.decode.beam_width)
@@ -230,6 +243,8 @@ def main(argv=None) -> int:
     sv.add_argument("--batch", type=int, default=32)
     sv.add_argument("--seed", type=int, default=None,
                     help="reproducible sampling seed (method=sample)")
+    sv.add_argument("--sharded", action="store_true",
+                    help="decode over all visible chips (GSPMD data sharding)")
     sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)

@@ -23,13 +23,15 @@ class Captioner:
     """Bound model + params with jit-compiled greedy/beam/sample batch decoders."""
 
     def __init__(self, cfg: Config, model: VidCapModel, params,
-                 dataset: CaptionDataset, seed: Optional[int] = None):
+                 dataset: CaptionDataset, seed: Optional[int] = None,
+                 mesh=None):
         self.cfg = cfg
         self.model = model
         self.params = params
         self.dataset = dataset
         self.max_len = cfg.decode.max_len
         self.seed = seed              # None → wall-clock-seeded sampling
+        self.mesh = mesh              # jax.sharding.Mesh → multi-chip decode
         self._sample_calls = 0        # fold_in counter: distinct, reproducible
         self._compiled = {}
 
@@ -38,7 +40,7 @@ class Captioner:
     @classmethod
     def from_checkpoint(cls, cfg: Config, dataset: CaptionDataset,
                         checkpoint_dir: Optional[str] = None,
-                        seed: Optional[int] = None) -> "Captioner":
+                        seed: Optional[int] = None, mesh=None) -> "Captioner":
         model = create_model(cfg, vocab_size=dataset.vocab.size)
         params = init_params(model, cfg, jax.random.key(cfg.train.seed))
         if checkpoint_dir:
@@ -49,7 +51,7 @@ class Captioner:
                 state = create_train_state(cfg, params)
                 params = mgr.restore(state).params
             mgr.close()
-        return cls(cfg, model, params, dataset, seed=seed)
+        return cls(cfg, model, params, dataset, seed=seed, mesh=mesh)
 
     @classmethod
     def from_state(cls, cfg: Config, dataset: CaptionDataset, state
@@ -94,6 +96,22 @@ class Captioner:
         mask = jnp.asarray(frame_mask, jnp.float32)
         padded_vocab = self.model.decoder.padded_vocab if hasattr(
             self.model, "decoder") else self.cfg.data.padded_vocab
+
+        # multi-chip serving: route greedy/beam through the GSPMD data-sharded
+        # decode (parallel/sharding.make_sharded_decode); sampling keeps the
+        # single-device path (rng stream semantics)
+        if self.mesh is not None and method in ("greedy", "beam"):
+            from vidcap_tpu.parallel.sharding import make_sharded_decode
+
+            def build_sharded():
+                with self.mesh:
+                    return make_sharded_decode(
+                        self.model, self.cfg, self.mesh,
+                        self.dataset.vocab.size, method=method,
+                        beam_width=beam_width)
+            fn = self._get(("sharded", method, B, beam_width), build_sharded)
+            with self.mesh:
+                return np.asarray(fn(self.params, jnp.asarray(feats), mask))
 
         use_pallas = (self.cfg.model.use_pallas_decoder
                       and self.cfg.model.num_lstm_layers == 1

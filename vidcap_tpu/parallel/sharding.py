@@ -112,10 +112,12 @@ def make_sharded_decode(model: VidCapModel, cfg: Config, mesh: Mesh,
     max_len = cfg.decode.max_len
     bf16 = cfg.model.compute_dtype == "bfloat16"
 
-    def run(params, feats):
+    def run(params, feats, frame_mask=None):
         feats = jax.lax.with_sharding_constraint(feats, feats_sh)
+        if frame_mask is not None:
+            frame_mask = jax.lax.with_sharding_constraint(frame_mask, feats_sh)
         B = feats.shape[0]
-        state = model.apply({"params": params}, feats,
+        state = model.apply({"params": params}, feats, frame_mask,
                             method=VidCapModel.init_state)
         if method == "greedy":
             def step(st, tok):
