@@ -242,3 +242,19 @@ def test_read_tf_checkpoint_formats(tmp_path):
     got = convert.read_tf_checkpoint(ckpt)
     np.testing.assert_array_equal(got["x/kernel"], arrs["a/b"])
     np.testing.assert_array_equal(got["bias"], arrs["c"])
+
+
+def test_irv2_convert_empty_prefix(tiny_backbone):
+    """Review r2 finding 5 regression: with prefix='' (archives whose names
+    omit the InceptionResnetV2/ scope) the BN presence probes must build keys
+    the same way get() does — the old f"{prefix}/{scope}" probe produced a
+    leading slash, misrouting every BN conv to the bias branch."""
+    bb, params, dummy = tiny_backbone
+    rng = np.random.default_rng(4)
+    tf_vars = _synthetic_slim_ckpt(params, rng)
+    stripped = {k[len(convert.SLIM_PREFIX) + 1:]: v for k, v in tf_vars.items()}
+    converted = convert.convert_irv2(stripped, params, prefix="")
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(converted)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -362,3 +362,74 @@ def test_finished_pool_early_exit_parity(bound_model):
                                     early_exit=True)
     np.testing.assert_allclose(np.asarray(sc_a), np.asarray(sc_b), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(toks_a), np.asarray(toks_b))
+
+
+def _adversarial_rows():
+    """The Markov LM from test_finished_pool_beats_slot_blocking_adversarial."""
+    V = 7
+    A_TOK, B_TOK, JUNK = 4, 5, 6
+    NEG = -1e9
+    rows = np.full((V, V), NEG, np.float32)
+    rows[BOS, A_TOK] = -0.6
+    rows[BOS, B_TOK] = -1.25
+    rows[BOS, JUNK] = np.log(1.0 - np.exp(-0.6) - np.exp(-1.25))
+    rows[A_TOK, EOS] = -0.7
+    rows[A_TOK, B_TOK] = -0.75
+    rows[A_TOK, JUNK] = np.log(1.0 - np.exp(-0.7) - np.exp(-0.75))
+    rows[B_TOK, EOS] = -0.05
+    rows[B_TOK, A_TOK] = -5.0
+    rows[B_TOK, JUNK] = np.log(1.0 - np.exp(-0.05) - np.exp(-5.0))
+    rows[JUNK, JUNK] = 0.0
+    return rows, A_TOK, B_TOK
+
+
+def test_finished_pool_early_exit_parity_with_length_penalty():
+    """Review r2 finding 1 regression: under length_penalty>0 the early-exit
+    bound must use the MAX length factor (raw logp ≤ 0 → larger factor is more
+    favourable); the inverted bound stopped the loop before the winning long
+    caption could finish."""
+    from vidcap_tpu.models.decoding import beam_decode_pool
+
+    rows, A_TOK, B_TOK = _adversarial_rows()
+    step_fn = _toy_step_fn(jnp.asarray(rows))
+    toks_scan, sc_scan = beam_decode_pool(
+        step_fn, jnp.zeros((2,)), batch=1, max_len=3, beam_width=2,
+        vocab_size=7, length_penalty=1.0)
+    toks_ee, sc_ee = beam_decode_pool(
+        step_fn, jnp.zeros((2,)), batch=1, max_len=3, beam_width=2,
+        vocab_size=7, length_penalty=1.0, early_exit=True)
+    np.testing.assert_array_equal(np.asarray(toks_scan)[0],
+                                  [A_TOK, B_TOK, EOS])
+    np.testing.assert_array_equal(np.asarray(toks_scan), np.asarray(toks_ee))
+    np.testing.assert_allclose(float(sc_scan[0]), float(sc_ee[0]), rtol=1e-6)
+
+
+def test_finished_pool_prunes_low_ranked_eos():
+    """Deliberate finish-rule semantics (review r2 finding 4, resolved the
+    other way): a beam finishes ONLY when <eos> ranks in its row's top K+1 —
+    a superset of im2txt's top-K rule. An unpruned pool that finishes every
+    beam on the raw <eos> column every step degenerates: the one-term
+    immediate-<eos> score beats any real multi-token caption under log-prob
+    scoring. Here <eos> ranks 3rd (outside top-2 with K=1), so the pool must
+    stay empty and the decoder must emit a real caption."""
+    from vidcap_tpu.models.decoding import beam_decode_pool
+
+    V = 7
+    A_TOK, B_TOK, JUNK = 4, 5, 6
+    NEG = -1e9
+    rows = np.full((V, V), NEG, np.float32)
+    rows[BOS, A_TOK] = -0.5
+    rows[BOS, B_TOK] = -0.9
+    rows[BOS, EOS] = -1.2          # 3rd in the row: outside top-(K+1)=top-2
+    rows[BOS, JUNK] = np.log(
+        1.0 - np.exp(-0.5) - np.exp(-0.9) - np.exp(-1.2))
+    for t in (A_TOK, B_TOK, JUNK):
+        rows[t, A_TOK] = -1.0      # real continuations exist
+        rows[t, JUNK] = -1.2
+
+    step_fn = _toy_step_fn(jnp.asarray(rows))
+    toks, scores = beam_decode_pool(
+        step_fn, jnp.zeros((1,)), batch=1, max_len=3, beam_width=1,
+        vocab_size=V, length_penalty=1.0)
+    out = np.asarray(toks)[0]
+    assert out[0] != EOS, out      # no degenerate immediate-<eos> caption

@@ -101,3 +101,24 @@ def test_beam_finished_pool_auto_via_captioner(tiny_cfg, tiny_dataset):
                                         checkpoint_dir=None)
     c = cap_off.decode_batch(feats, method="beam", beam_width=3)
     assert c.shape == a.shape
+
+
+def test_pallas_sample_path_accepts_explicit_rng(tiny_cfg, tiny_dataset):
+    """Review r2 finding 2 regression: decode_batch(method='sample', rng=key)
+    on the Pallas path derived its kernel seed via jax.random.randint with
+    maxval=1<<31, which overflows int32 and crashed unconditionally."""
+    import dataclasses
+
+    import jax
+    cfg = dataclasses.replace(
+        tiny_cfg, model=dataclasses.replace(tiny_cfg.model,
+                                            use_pallas_decoder=True))
+    cap = Captioner.from_checkpoint(cfg, tiny_dataset, checkpoint_dir=None)
+    B = 8
+    feats = np.asarray(
+        np.random.default_rng(2).normal(
+            size=(B, cfg.data.num_frames, cfg.data.feature_dim)), np.float32)
+    a = cap.decode_batch(feats, method="sample", rng=jax.random.key(3))
+    b = cap.decode_batch(feats, method="sample", rng=jax.random.key(3))
+    assert a.shape == (B, cfg.decode.max_len)
+    np.testing.assert_array_equal(a, b)    # same key → same kernel seed

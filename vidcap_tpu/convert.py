@@ -149,8 +149,11 @@ def convert_irv2(tf_vars: Mapping[str, np.ndarray], flax_template,
     out = jax.tree_util.tree_map(lambda a: np.array(a, copy=True),
                                  flax_template)
 
+    def full_name(name):
+        return f"{prefix}/{name}" if prefix else name
+
     def get(name):
-        full = f"{prefix}/{name}" if prefix else name
+        full = full_name(name)
         if full not in tf_vars:
             missing.append(full)
             return None
@@ -165,11 +168,14 @@ def convert_irv2(tf_vars: Mapping[str, np.ndarray], flax_template,
                     f"(missing {part!r}); template/map out of sync")
             node = node[part]
         kernel = get(f"{slim_scope}/weights")            # HWIO, same as flax
-        if f"{prefix}/{slim_scope}/BatchNorm/moving_mean" in tf_vars:
+        # presence probes must build keys the same way get() does — a bare
+        # f"{prefix}/..." with prefix='' misroutes every BN conv to the bias
+        # branch (review r2)
+        if full_name(f"{slim_scope}/BatchNorm/moving_mean") in tf_vars:
             mean = get(f"{slim_scope}/BatchNorm/moving_mean")
             var = get(f"{slim_scope}/BatchNorm/moving_variance")
             beta = get(f"{slim_scope}/BatchNorm/beta")
-            gkey = f"{prefix}/{slim_scope}/BatchNorm/gamma"
+            gkey = full_name(f"{slim_scope}/BatchNorm/gamma")
             gamma = np.asarray(tf_vars[gkey]) if gkey in tf_vars else None
             if mean is None or var is None or beta is None:
                 continue

@@ -148,8 +148,9 @@ class Captioner:
                         seed=s, temperature=temperature,
                         frame_mask=m).tokens))
                 if rng is not None:
+                    # maxval must fit int32: (1 << 31) overflows (review r2)
                     seed = jnp.int32(jax.random.randint(
-                        rng, (), 0, 1 << 31))
+                        rng, (), 0, (1 << 31) - 1))
                 elif self.seed is not None:
                     self._sample_calls += 1
                     seed = jnp.int32((self.seed * 1000003
@@ -187,10 +188,9 @@ class Captioner:
                             {"params": p}, st, tok, K, bf16,
                             method=VidCapModel.step_beam)
 
+                    from vidcap_tpu.models.decoding import use_finished_pool
                     lp = self.cfg.decode.length_penalty
-                    pool = self.cfg.decode.finished_pool
-                    use_pool = pool == "on" or (pool == "auto" and lp != 0.0)
-                    if use_pool:
+                    if use_finished_pool(self.cfg.decode):
                         from vidcap_tpu.models.decoding import beam_decode_pool
                         toks, _ = beam_decode_pool(
                             beam_step, state, batch=B,

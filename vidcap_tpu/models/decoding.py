@@ -236,6 +236,52 @@ def per_row_topk_lane(x: Array, k: int, lanes: int = 128
     return tv, ti.astype(jnp.int32)
 
 
+def _lp_factor(length_penalty: float, lengths) -> Array:
+    """GNMT length-normalization factor ((5+len)/6)^lp; 1.0 when lp == 0."""
+    lengths = jnp.asarray(lengths, jnp.float32)
+    if length_penalty == 0.0:
+        return jnp.ones_like(lengths)
+    return ((5.0 + lengths) / 6.0) ** length_penalty
+
+
+def _make_state_gather(B: int, K: int, recurrent_only_gather: bool):
+    """Reorder the B·K 'batch' rows of the decode state after beam pruning.
+
+    For DecoderState only the RECURRENT leaves (h, c) need the gather —
+    keys/values/frame_mask are per-video tensors and beam reordering stays
+    within a video's K-row block, so gathering them is an identity (and a
+    ~2× HBM-traffic saving per step at B=128). Shared by beam_decode and
+    beam_decode_pool."""
+    from vidcap_tpu.models.decoder import DecoderState
+
+    def gather_state(st, flat_src):
+        if recurrent_only_gather and isinstance(st, DecoderState):
+            return DecoderState(h=st.h[:, flat_src], c=st.c[:, flat_src],
+                                keys=st.keys, values=st.values,
+                                frame_mask=st.frame_mask)
+
+        def gather_rows(x):
+            if x.ndim >= 1 and x.shape[0] == B * K:
+                return x[flat_src]
+            if x.ndim >= 2 and x.shape[1] == B * K:   # h/c: [layers, B*K, H]
+                return x[:, flat_src]
+            return x
+
+        return jax.tree_util.tree_map(gather_rows, st)
+
+    return gather_state
+
+
+def use_finished_pool(decode_cfg) -> bool:
+    """The ONE place the finished_pool='auto' rule lives (Captioner and the
+    sharded decode both call this — they must never diverge): the pool runs
+    exactly when slot-blocking could return a different winner, i.e. under a
+    nonzero length penalty (see ARCHITECTURE.md beam semantics)."""
+    pool = decode_cfg.finished_pool
+    return pool == "on" or (pool == "auto"
+                            and decode_cfg.length_penalty != 0.0)
+
+
 def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
                 vocab_size: int, length_penalty: float = 0.0,
                 recurrent_only_gather: bool = True,
@@ -262,32 +308,9 @@ def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
     NEG = -1e30
 
     def lp_norm(logp, lengths):
-        if length_penalty == 0.0:
-            return logp
-        return logp / ((5.0 + lengths) / 6.0) ** length_penalty
+        return logp / _lp_factor(length_penalty, lengths)
 
-    from vidcap_tpu.models.decoder import DecoderState
-
-    def gather_state(st, flat_src):
-        """Reorder the B*K 'batch' rows of the decode state after beam pruning.
-
-        For DecoderState only the RECURRENT leaves (h, c) need the gather —
-        keys/values/frame_mask are per-video tensors and beam reordering stays
-        within a video's K-row block, so gathering them is an identity (and a
-        ~2× HBM-traffic saving per step at B=128)."""
-        if recurrent_only_gather and isinstance(st, DecoderState):
-            return DecoderState(h=st.h[:, flat_src], c=st.c[:, flat_src],
-                                keys=st.keys, values=st.values,
-                                frame_mask=st.frame_mask)
-
-        def gather_rows(x):
-            if x.ndim >= 1 and x.shape[0] == B * K:
-                return x[flat_src]
-            if x.ndim >= 2 and x.shape[1] == B * K:   # h/c: [layers, B*K, H]
-                return x[:, flat_src]
-            return x
-
-        return jax.tree_util.tree_map(gather_rows, st)
+    gather_state = _make_state_gather(B, K, recurrent_only_gather)
 
     def step(carry, t):
         st, prev_tok, alive_logp, alive_seq, finished = carry
@@ -399,7 +422,16 @@ def beam_decode_pool(step_fn, state, batch: int, max_len: int,
     keep completed captions in a separate list exactly like this pool.
 
     Shapes stay static: the pool is a [B, K] score table + [B, K, L] token
-    table, merged with the ≤K(K+1) per-step <eos> candidates by one top_k.
+    table, merged with the per-step <eos> candidates by one top_k.
+
+    Finish rule (deliberate, review-examined): a beam finishes only when
+    <eos> ranks within its row's top K+1 candidates — a SUPERSET of im2txt's
+    rule (finish iff <eos> is in the row's top K words). Finishing
+    unconditionally on the raw <eos> column is NOT an improvement: under
+    log-prob scoring an immediate garbage-ranked <eos> (one short negative
+    term) outscores every real multi-token caption, so an unpruned pool
+    degenerates to near-empty captions
+    (tests/test_decoding.py::test_finished_pool_prunes_low_ranked_eos).
 
     Returns (tokens i32[B, L] best overall, scores f32[B]).
     """
@@ -408,26 +440,9 @@ def beam_decode_pool(step_fn, state, batch: int, max_len: int,
     NEG = -1e30
 
     def lp_factor(lengths):
-        if length_penalty == 0.0:
-            return jnp.ones_like(lengths)
-        return ((5.0 + lengths) / 6.0) ** length_penalty
+        return _lp_factor(length_penalty, lengths)
 
-    from vidcap_tpu.models.decoder import DecoderState
-
-    def gather_state(st, flat_src):
-        if recurrent_only_gather and isinstance(st, DecoderState):
-            return DecoderState(h=st.h[:, flat_src], c=st.c[:, flat_src],
-                                keys=st.keys, values=st.values,
-                                frame_mask=st.frame_mask)
-
-        def gather_rows(x):
-            if x.ndim >= 1 and x.shape[0] == B * K:
-                return x[flat_src]
-            if x.ndim >= 2 and x.shape[1] == B * K:
-                return x[:, flat_src]
-            return x
-
-        return jax.tree_util.tree_map(gather_rows, st)
+    gather_state = _make_state_gather(B, K, recurrent_only_gather)
 
     def step(carry, t):
         st, prev_tok, alive_logp, alive_seq, fin_logp, fin_seq = carry
@@ -448,8 +463,8 @@ def beam_decode_pool(step_fn, state, batch: int, max_len: int,
         cand = cand + beam_mask
         is_eos = idx_k == EOS
 
-        # ---- finished pool: merge <eos> candidates (normalized at their
-        # finish length t+1) with the existing pool, keep the best K
+        # ---- finished pool: merge top-ranked <eos> candidates (normalized at
+        # their finish length t+1) with the existing pool, keep the best K
         eos_scores = jnp.where(
             is_eos, cand / lp_factor(jnp.float32(t + 1)), NEG
         ).reshape(B, K * (K + 1))
@@ -490,16 +505,17 @@ def beam_decode_pool(step_fn, state, batch: int, max_len: int,
         def cond(tc):
             t, c = tc
             alive_lp, fin_lp = c[2], c[4]
-            # an alive beam's future score only gets worse (logp adds ≤ 0);
-            # its best possible normalized score uses the most favourable
-            # length factor. Stop when even that can't displace the pool min.
+            # an alive beam's future raw logp only gets worse (adds ≤ 0), and
+            # raw ≤ 0, so its best POSSIBLE normalized score raw/factor is
+            # maximized by the LARGEST factor over any reachable finish length
+            # (dividing a non-positive number by a bigger positive factor moves
+            # it toward 0 — a round-2 review caught the inverted min() here).
+            # Stop when even that bound can't displace the pool's K-th best.
             if length_penalty == 0.0:
                 best_possible = alive_lp.max(-1)
             else:
                 lens = jnp.arange(1, max_len + 1, dtype=jnp.float32)
-                best_factor = (jnp.min(lp_factor(lens))
-                               if length_penalty >= 0 else
-                               jnp.max(lp_factor(lens)))
+                best_factor = jnp.max(lp_factor(lens))
                 best_possible = alive_lp.max(-1) / best_factor
             pool_min = fin_lp.min(-1)
             return (t < max_len) & jnp.any(best_possible > pool_min)

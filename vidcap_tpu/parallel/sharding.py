@@ -105,7 +105,8 @@ def make_sharded_decode(model: VidCapModel, cfg: Config, mesh: Mesh,
     per-step beam gathers never cross chips. Honors cfg.decode.finished_pool
     (same auto rule as the Captioner)."""
     from vidcap_tpu.models.decoding import (beam_decode, beam_decode_pool,
-                                            greedy_decode, tile_recurrent)
+                                            greedy_decode, tile_recurrent,
+                                            use_finished_pool)
 
     feats_sh = NamedSharding(mesh, P("data"))
     pv = max(cfg.data.padded_vocab, ((vocab_size + 127) // 128) * 128)
@@ -124,6 +125,7 @@ def make_sharded_decode(model: VidCapModel, cfg: Config, mesh: Mesh,
                 return model.apply({"params": params}, st, tok, bf16,
                                    method=VidCapModel.step)
             return greedy_decode(step, state, B, max_len,
+                                 early_exit=cfg.decode.early_exit,
                                  with_logp=False).tokens
         state = tile_recurrent(state, beam_width)
 
@@ -131,14 +133,12 @@ def make_sharded_decode(model: VidCapModel, cfg: Config, mesh: Mesh,
             return model.apply({"params": params}, st, tok, beam_width, bf16,
                                method=VidCapModel.step_beam)
 
-        lp = cfg.decode.length_penalty
-        pool = cfg.decode.finished_pool
-        decode_fn = (beam_decode_pool
-                     if pool == "on" or (pool == "auto" and lp != 0.0)
+        decode_fn = (beam_decode_pool if use_finished_pool(cfg.decode)
                      else beam_decode)
         toks, _ = decode_fn(beam_step, state, batch=B, max_len=max_len,
                             beam_width=beam_width, vocab_size=pv,
-                            length_penalty=lp)
+                            length_penalty=cfg.decode.length_penalty,
+                            early_exit=cfg.decode.early_exit)
         return toks
 
     return jax.jit(run)

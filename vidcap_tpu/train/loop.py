@@ -29,6 +29,19 @@ def batch_to_device_dict(batch: Batch) -> Dict[str, np.ndarray]:
     }
 
 
+def _subset_dataset(dataset: CaptionDataset, max_videos: int
+                    ) -> CaptionDataset:
+    """First-N-videos view of a dataset (same vocab) for cheap periodic eval."""
+    n = min(max_videos, dataset.num_videos)
+    if n == dataset.num_videos:
+        return dataset
+    ids = dataset.video_ids[:n]
+    return CaptionDataset(
+        dataset.features[:n], ids,
+        {v: dataset.video_captions[v] for v in ids},
+        dataset.cfg, vocab=dataset.vocab)
+
+
 def run_validation(cfg: Config, captioner, val_dataset: CaptionDataset
                    ) -> Dict[str, float]:
     """Greedy-decode the val split and score it (SURVEY.md C17 'periodic val
@@ -97,7 +110,21 @@ def train(
     captioner = None
     best_ckpt = None
     best_cider = -1.0
-    val = val_dataset or dataset
+    eval_on_train = val_dataset is None
+    if eval_on_train:
+        # No val split: fall back to a CAPPED train subset. Selection by
+        # training fit is overfit-prone and decoding the full train set every
+        # eval stalls the loop for minutes on real corpora — cap it, and mark
+        # every eval record so the substitution is visible in the logs.
+        val = _subset_dataset(dataset, max_videos=200)
+        if eval_every > 0:
+            import sys
+            print(f"[vidcap] no val split — periodic eval scores a "
+                  f"{val.num_videos}-video TRAIN subset; 'best' checkpoint "
+                  f"selection reflects training fit, not held-out quality",
+                  file=sys.stderr)
+    else:
+        val = val_dataset
 
     def maybe_eval(step_no: int, state: TrainState) -> None:
         nonlocal captioner, best_ckpt, best_cider
@@ -108,7 +135,10 @@ def train(
             captioner = Captioner.from_state(cfg, val, state)
         captioner.params = state.params   # decode fns take params as an arg
         scores = run_validation(cfg, captioner, val)
-        logger.log(step_no, {f"eval_{k}": v for k, v in scores.items()})
+        record = {f"eval_{k}": v for k, v in scores.items()}
+        if eval_on_train:
+            record["eval_on_train_fallback"] = 1.0
+        logger.log(step_no, record)
         if scores["CIDEr"] > best_cider:
             best_cider = scores["CIDEr"]
             if best_ckpt is None:
