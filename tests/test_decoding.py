@@ -433,3 +433,36 @@ def test_finished_pool_prunes_low_ranked_eos():
         vocab_size=V, length_penalty=1.0)
     out = np.asarray(toks)[0]
     assert out[0] != EOS, out      # no degenerate immediate-<eos> caption
+
+
+def test_per_row_topk_variants_agree():
+    """All exact top-k strategies (iterative, rescan, hierarchic, lane) must
+    agree with lax.top_k on values — and on indices up to tie order (forced
+    ties included; lane's union ordering may break ties differently)."""
+    from vidcap_tpu.models.decoding import (per_row_topk_hierarchic,
+                                            per_row_topk_iterative,
+                                            per_row_topk_lane,
+                                            per_row_topk_rescan)
+
+    rng = np.random.default_rng(21)
+    for trial in range(4):
+        x = rng.normal(size=(32, 1280)).astype(np.float32)
+        if trial >= 2:
+            x = np.round(x * 4) / 4          # force ties
+        x = jnp.asarray(x)
+        vref, iref = jax.lax.top_k(x, 5)
+        for fn, exact_idx in ((per_row_topk_iterative, True),
+                              (per_row_topk_rescan, True),
+                              (per_row_topk_hierarchic, True),
+                              (per_row_topk_lane, False)):
+            v, i = fn(x, 5)
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(vref),
+                                          err_msg=fn.__name__)
+            if exact_idx:
+                np.testing.assert_array_equal(np.asarray(i), np.asarray(iref),
+                                              err_msg=fn.__name__)
+            else:
+                # values at the returned indices must equal the top values
+                got = np.take_along_axis(np.asarray(x), np.asarray(i), -1)
+                np.testing.assert_array_equal(got, np.asarray(vref),
+                                              err_msg=fn.__name__)
