@@ -1,5 +1,5 @@
 """Focused SCST train-step throughput (same config as bench_all.bench_train).
-PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_scst.py [B] [iters]"""
+PYTHONPATH=... python scripts/bench_scst.py [B] [iters] [fused|legacy]"""
 import dataclasses
 import sys
 import time
@@ -8,7 +8,7 @@ import jax
 import numpy as np
 
 
-def main(B=64, iters=20):
+def main(B=64, iters=20, mode="fused"):
     from vidcap_tpu.utils.compilation_cache import enable_compilation_cache
     enable_compilation_cache()
     from vidcap_tpu.config import get_preset
@@ -29,6 +29,7 @@ def main(B=64, iters=20):
         cfg, data=dcfg,
         train=dataclasses.replace(cfg.train, stage="scst", batch_size=B,
                                   attribute_loss_weight=0.2, scst_xe_mix=0.1,
+                                  scst_fused_rollouts=(mode == "fused"),
                                   donate_state=False))
     step = make_scst_step(model, scfg, tables=tables_from_dataset(ds))
     state = create_train_state(scfg, params)
@@ -44,11 +45,12 @@ def main(B=64, iters=20):
         state, m = step(state, b)
     jax.block_until_ready(m["loss"])
     dt = time.perf_counter() - t0
-    print(f"scst B={B}: {iters/dt:.1f} steps/s ({dt/iters*1e3:.1f} ms/step)  "
+    print(f"scst[{mode}] B={B}: {iters/dt:.1f} steps/s ({dt/iters*1e3:.1f} ms/step)  "
           f"reward_greedy={float(m['reward_greedy']):.3f} "
           f"adv_std={float(m['advantage_std']):.3f}", flush=True)
 
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 64,
-         int(sys.argv[2]) if len(sys.argv) > 2 else 20)
+         int(sys.argv[2]) if len(sys.argv) > 2 else 20,
+         sys.argv[3] if len(sys.argv) > 3 else "fused")

@@ -89,6 +89,9 @@ class TrainConfig:
     scst_learning_rate: Optional[float] = None  # policy-gradient fine-tuning LR
     #   (defaults to learning_rate/20 — SCST at the XE rate collapses policies)
     scst_xe_mix: float = 0.0              # λ·XE anchor added to the PG loss
+    scst_fused_rollouts: bool = True      # ONE 2B-row forward-only scan for
+    #   baseline+sample + teacher-forced re-score (latency-bound step: ~2
+    #   scan-equivalents cheaper); False = separate BPTT rollouts (legacy)
     # multitask
     attribute_loss_weight: float = 0.0    # >0 enables the auxiliary attribute head
     # input pipeline

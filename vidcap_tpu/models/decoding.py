@@ -141,6 +141,57 @@ def sample_decode(step_fn, state, batch: int, max_len: int, rng: Array,
     return Rollout(tokens=toks.T, logp=logps.T, mask=masks.T)
 
 
+def duplicate_state(state, batch: int):
+    """[greedy-block; sample-block] duplication of a decode state: every leaf's
+    B batch rows become 2B rows (block layout, NOT interleaved — callers slice
+    ``[:B]``/``[B:]``). DecoderState leaves are [B, ...] except h/c
+    ([layers, B, H])."""
+
+    def dup(x):
+        if x.ndim >= 2 and x.shape[0] != batch and x.shape[1] == batch:
+            return jnp.concatenate([x, x], axis=1)     # h/c: [L, 2B, H]
+        return jnp.concatenate([x, x], axis=0)
+
+    return jax.tree_util.tree_map(dup, state)
+
+
+def dual_rollout(step_fn, state2, batch: int, max_len: int, rng: Array,
+                 temperature: float = 1.0) -> Tuple[Rollout, Rollout]:
+    """ONE forward-only scan driving BOTH SCST rollouts (SURVEY.md §3.2):
+    rows [0:B] run the greedy baseline (argmax), rows [B:2B] the multinomial
+    policy sample — the decoder step is latency-bound at these widths (see
+    ARCHITECTURE.md beam profile), so one 2B-row scan costs ~one B-row scan
+    and halves the rollout's sequential step count vs two separate scans.
+
+    ``state2`` must already have 2B rows (:func:`duplicate_state`). Returns
+    (greedy, sample) Rollouts with tokens/mask only — ``logp`` is ZERO; the
+    caller re-scores the sampled tokens teacher-forced for the PG gradient
+    (identical gradients: the recurrence is the same function of params once
+    the tokens are fixed — the Pallas SCST path's trick, train/scst.py)."""
+    B = batch
+
+    def body(carry, key):
+        st, prev_tok, finished = carry
+        st, logits = step_fn(st, prev_tok)              # [2B, V] (bf16 ok)
+        g_tok = jnp.argmax(logits[:B], axis=-1).astype(jnp.int32)
+        scaled = (logits[B:].astype(jnp.float32)
+                  / jnp.maximum(temperature, 1e-6))
+        s_tok = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+        tok = jnp.concatenate([g_tok, s_tok])
+        tok = jnp.where(finished, PAD, tok)
+        mask = 1.0 - finished.astype(jnp.float32)
+        return (st, tok, finished | (tok == EOS)), (tok, mask)
+
+    keys = jax.random.split(rng, max_len)
+    init = (state2, jnp.full((2 * B,), BOS, jnp.int32),
+            jnp.zeros((2 * B,), bool))
+    _, (toks, masks) = jax.lax.scan(body, init, keys)
+    toks, masks = toks.T, masks.T                       # [2B, L]
+    zero_lp = jnp.zeros((B, max_len), jnp.float32)
+    return (Rollout(tokens=toks[:B], logp=zero_lp, mask=masks[:B]),
+            Rollout(tokens=toks[B:], logp=zero_lp, mask=masks[B:]))
+
+
 # --------------------------------------------------------------------------- beam
 
 def per_row_topk_iterative(x: Array, k: int) -> Tuple[Array, Array]:

@@ -49,11 +49,24 @@ def make_scst_step(model: VidCapModel, cfg: Config, dataset=None,
             return model.apply({"params": params}, feats,
                                method=VidCapModel.init_state)
 
-        if use_pallas:
-            # fused-kernel rollouts (forward only) + ONE differentiable XLA
-            # teacher-forced re-score of the sampled tokens for the PG gradient
+        def rescored_sample(s_roll):
+            """ONE differentiable teacher-forced re-score of the sampled
+            tokens — gradients identical to BPTT through the sampling scan
+            (same recurrence, same fixed tokens), at teacher-forcing cost."""
             from vidcap_tpu.models.decoding import Rollout
             from vidcap_tpu.objectives.xe import shift_right
+            logits = model.apply({"params": params}, feats, None,
+                                 shift_right(s_roll.tokens),
+                                 method=VidCapModel.xe_logits)
+            logp_all = jax.nn.log_softmax(
+                logits / jnp.maximum(cfg.decode.temperature, 1e-6), axis=-1)
+            logp = jnp.take_along_axis(
+                logp_all, s_roll.tokens[..., None], axis=-1)[..., 0]
+            return Rollout(tokens=s_roll.tokens, logp=logp * s_roll.mask,
+                           mask=s_roll.mask)
+
+        if use_pallas:
+            # fused-kernel rollouts (forward only) + re-score
             from vidcap_tpu.ops.pallas_decoder import model_rollout
 
             seed = jax.random.randint(rng, (), 0, jnp.int32(2**31 - 1))
@@ -62,15 +75,28 @@ def make_scst_step(model: VidCapModel, cfg: Config, dataset=None,
                                    sample=True, seed=seed,
                                    temperature=cfg.decode.temperature)
             greedy = model_rollout(model, frozen, feats, max_len=max_len)
-            logits = model.apply({"params": params}, feats, None,
-                                 shift_right(s_roll.tokens),
-                                 method=VidCapModel.xe_logits)
-            logp_all = jax.nn.log_softmax(
-                logits / jnp.maximum(cfg.decode.temperature, 1e-6), axis=-1)
-            logp = jnp.take_along_axis(
-                logp_all, s_roll.tokens[..., None], axis=-1)[..., 0]
-            sample = Rollout(tokens=s_roll.tokens, logp=logp * s_roll.mask,
-                             mask=s_roll.mask)
+            sample = rescored_sample(s_roll)
+        elif cfg.train.scst_fused_rollouts:
+            # ONE forward-only 2B-row scan drives BOTH rollouts (the step is
+            # latency-bound, so 2B rows ≈ the cost of B) + re-score: three
+            # scan-equivalents instead of five (sample fwd+bwd, greedy fwd,
+            # before counting the xe anchor) — see decoding.dual_rollout
+            from vidcap_tpu.models.decoding import (dual_rollout,
+                                                    duplicate_state)
+
+            frozen = jax.lax.stop_gradient(params)
+
+            def frozen_step(state, tok):
+                return model.apply({"params": frozen}, state, tok, True,
+                                   method=VidCapModel.step)
+
+            state2 = duplicate_state(
+                model.apply({"params": frozen}, feats,
+                            method=VidCapModel.init_state), B)
+            greedy, s_roll = dual_rollout(
+                frozen_step, state2, B, max_len, rng,
+                temperature=cfg.decode.temperature)
+            sample = rescored_sample(s_roll)
         else:
             sample = sample_decode(step_fn, init_state(), B, max_len, rng,
                                    temperature=cfg.decode.temperature)
