@@ -40,6 +40,7 @@ def make_scst_step(model: VidCapModel, cfg: Config, dataset=None,
     def loss_fn(params, batch, rng):
         feats = batch["features"]
         B = feats.shape[0]
+        xe_precomputed = None   # set when the anchor folds into the re-score
 
         def step_fn(state, tok):
             return model.apply({"params": params}, state, tok,
@@ -96,7 +97,34 @@ def make_scst_step(model: VidCapModel, cfg: Config, dataset=None,
             greedy, s_roll = dual_rollout(
                 frozen_step, state2, B, max_len, rng,
                 temperature=cfg.decode.temperature)
-            sample = rescored_sample(s_roll)
+            if cfg.train.scst_xe_mix > 0:
+                # fold the XE anchor into the SAME teacher-forced pass: one
+                # 2B-row scan re-scores the sampled tokens (PG half,
+                # temperature-scaled) AND the ground-truth captions (XE half)
+                from vidcap_tpu.models.decoding import Rollout
+                from vidcap_tpu.objectives.xe import (masked_xe_loss,
+                                                      shift_right)
+                Ls = s_roll.tokens.shape[1]
+                Lg = batch["tokens"].shape[1]
+                L2 = max(Ls, Lg)
+                toks2 = jnp.concatenate([
+                    jnp.pad(s_roll.tokens, ((0, 0), (0, L2 - Ls))),
+                    jnp.pad(batch["tokens"], ((0, 0), (0, L2 - Lg)))])
+                feats2 = jnp.concatenate([feats, feats])
+                logits2 = model.apply({"params": params}, feats2, None,
+                                      shift_right(toks2),
+                                      method=VidCapModel.xe_logits)
+                logp_all = jax.nn.log_softmax(
+                    logits2[:B, :Ls]
+                    / jnp.maximum(cfg.decode.temperature, 1e-6), axis=-1)
+                logp = jnp.take_along_axis(
+                    logp_all, s_roll.tokens[..., None], axis=-1)[..., 0]
+                sample = Rollout(tokens=s_roll.tokens,
+                                 logp=logp * s_roll.mask, mask=s_roll.mask)
+                xe_precomputed, _ = masked_xe_loss(
+                    logits2[B:, :Lg], batch["tokens"], batch["mask"])
+            else:
+                sample = rescored_sample(s_roll)
         else:
             sample = sample_decode(step_fn, init_state(), B, max_len, rng,
                                    temperature=cfg.decode.temperature)
@@ -121,11 +149,15 @@ def make_scst_step(model: VidCapModel, cfg: Config, dataset=None,
         if cfg.train.scst_xe_mix > 0:
             # XE anchor on the ground-truth captions: keeps the policy tied to
             # the data distribution while the PG term optimizes CIDEr
-            from vidcap_tpu.objectives.xe import masked_xe_loss, shift_right
-            logits = model.apply({"params": params}, feats, None,
-                                 shift_right(batch["tokens"]),
-                                 method=VidCapModel.xe_logits)
-            xe, _ = masked_xe_loss(logits, batch["tokens"], batch["mask"])
+            if xe_precomputed is not None:
+                xe = xe_precomputed
+            else:
+                from vidcap_tpu.objectives.xe import (masked_xe_loss,
+                                                      shift_right)
+                logits = model.apply({"params": params}, feats, None,
+                                     shift_right(batch["tokens"]),
+                                     method=VidCapModel.xe_logits)
+                xe, _ = masked_xe_loss(logits, batch["tokens"], batch["mask"])
             loss = loss + cfg.train.scst_xe_mix * xe
             metrics["xe_anchor"] = xe
         if attr_w > 0:
