@@ -9,6 +9,7 @@ import numpy as np
 
 
 def main(B=64, iters=20, mode="fused"):
+    assert mode in ("fused", "legacy"), f"mode must be fused|legacy, got {mode!r}"
     from vidcap_tpu.utils.compilation_cache import enable_compilation_cache
     enable_compilation_cache()
     from vidcap_tpu.config import get_preset

@@ -285,33 +285,14 @@ def test_finished_pool_beats_slot_blocking_adversarial():
     """
     from vidcap_tpu.models.decoding import beam_decode_pool
 
-    V = 7
-    A_TOK, B_TOK, JUNK = 4, 5, 6
-    NEG = -1e9
-    rows = np.full((V, V), NEG, np.float32)
-    # row BOS: a=-0.6, b=-1.25, junk absorbs
-    rows[BOS, A_TOK] = -0.6
-    rows[BOS, B_TOK] = -1.25
-    rows[BOS, JUNK] = np.log(1.0 - np.exp(-0.6) - np.exp(-1.25))
-    # row a: eos=-0.7 (finish beats continuing), b=-0.75
-    rows[A_TOK, EOS] = -0.7
-    rows[A_TOK, B_TOK] = -0.75
-    rows[A_TOK, JUNK] = np.log(1.0 - np.exp(-0.7) - np.exp(-0.75))
-    # row b: eos=-0.05 (cheap finish for "a b"), a=-5
-    rows[B_TOK, EOS] = -0.05
-    rows[B_TOK, A_TOK] = -5.0
-    rows[B_TOK, JUNK] = np.log(1.0 - np.exp(-0.05) - np.exp(-5.0))
-    # row junk: self-loop, never finishes
-    rows[JUNK, JUNK] = 0.0
-    t = jnp.asarray(rows)
-
-    step_fn = _toy_step_fn(t)
+    rows, A_TOK, B_TOK = _adversarial_rows()
+    step_fn = _toy_step_fn(jnp.asarray(rows))
     slot_toks, slot_scores = beam_decode(
         step_fn, jnp.zeros((2,)), batch=1, max_len=3, beam_width=2,
-        vocab_size=V, length_penalty=1.0)
+        vocab_size=rows.shape[1], length_penalty=1.0)
     pool_toks, pool_scores = beam_decode_pool(
         step_fn, jnp.zeros((2,)), batch=1, max_len=3, beam_width=2,
-        vocab_size=V, length_penalty=1.0)
+        vocab_size=rows.shape[1], length_penalty=1.0)
 
     # slot-blocking: both slots finish at t=1 with the short captions
     st = np.asarray(slot_toks)[0]
@@ -418,11 +399,14 @@ def test_finished_pool_prunes_low_ranked_eos():
     A_TOK, B_TOK, JUNK = 4, 5, 6
     NEG = -1e9
     rows = np.full((V, V), NEG, np.float32)
-    rows[BOS, A_TOK] = -0.5
-    rows[BOS, B_TOK] = -0.9
-    rows[BOS, EOS] = -1.2          # 3rd in the row: outside top-(K+1)=top-2
+    # probabilities sum < 1 so the junk-absorption log stays real (an earlier
+    # version fed log() a negative remainder → NaN poisoning the top-k)
+    rows[BOS, A_TOK] = -0.9
+    rows[BOS, B_TOK] = -1.3
+    rows[BOS, EOS] = -1.7          # 3rd in the row: outside top-(K+1)=top-2
     rows[BOS, JUNK] = np.log(
-        1.0 - np.exp(-0.5) - np.exp(-0.9) - np.exp(-1.2))
+        1.0 - np.exp(-0.9) - np.exp(-1.3) - np.exp(-1.7))
+    assert np.isfinite(rows[BOS, JUNK]), "toy LM row must stay a distribution"
     for t in (A_TOK, B_TOK, JUNK):
         rows[t, A_TOK] = -1.0      # real continuations exist
         rows[t, JUNK] = -1.2
@@ -466,3 +450,23 @@ def test_per_row_topk_variants_agree():
                 got = np.take_along_axis(np.asarray(x), np.asarray(i), -1)
                 np.testing.assert_array_equal(got, np.asarray(vref),
                                               err_msg=fn.__name__)
+
+
+def test_state_duplication_layers_equal_batch():
+    """Review r2 regression: with num_lstm_layers == batch_size the generic
+    shape heuristic concatenated h/c on the LAYER axis; DecoderState must be
+    handled explicitly in duplicate_state and tile_state."""
+    from vidcap_tpu.models.decoder import DecoderState
+    from vidcap_tpu.models.decoding import duplicate_state, tile_state
+
+    L = B = 2
+    H, T, A = 4, 3, 6
+    st = DecoderState(h=jnp.zeros((L, B, H)), c=jnp.zeros((L, B, H)),
+                      keys=jnp.zeros((B, T, A)), values=jnp.zeros((B, T, H)),
+                      frame_mask=jnp.ones((B, T)))
+    d = duplicate_state(st, B)
+    assert d.h.shape == (L, 2 * B, H), d.h.shape
+    assert d.keys.shape == (2 * B, T, A)
+    t = tile_state(st, 3, B)
+    assert t.h.shape == (L, 3 * B, H), t.h.shape
+    assert t.values.shape == (3 * B, T, H)

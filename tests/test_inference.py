@@ -122,3 +122,66 @@ def test_pallas_sample_path_accepts_explicit_rng(tiny_cfg, tiny_dataset):
     b = cap.decode_batch(feats, method="sample", rng=jax.random.key(3))
     assert a.shape == (B, cfg.decode.max_len)
     np.testing.assert_array_equal(a, b)    # same key → same kernel seed
+
+
+def test_real_data_layout_full_pipeline(tmp_path, monkeypatch):
+    """End-to-end through the REAL dataset file layout (not the synthetic
+    fallback): MSVD CSV + youtube mapping → prepare → feature .npy files →
+    from_files → train a few steps → caption → eval. Covers the path a real
+    user takes with downloaded assets."""
+    import dataclasses
+    import subprocess  # noqa: F401  (documents the CLI-equivalence of steps)
+
+    import numpy as np
+    from vidcap_tpu.config import get_preset
+    from vidcap_tpu.data.loader import CaptionDataset
+    from vidcap_tpu.data.prepare import prepare
+    from vidcap_tpu.metrics.evaluate import evaluate_captions
+    from vidcap_tpu.train.loop import train
+    from vidcap_tpu.utils.logging import MetricsLogger
+
+    # --- assets: 12 videos, canonical mapping, English+foreign captions
+    n = 12
+    keys = [f"yt{i:03d}_0_{i + 5}" for i in range(n)]
+    csv_lines = ["VideoID,Start,End,Language,Description"]
+    words = ["a man is running", "a dog is barking", "a cat is jumping"]
+    for i, k in enumerate(keys):
+        vid, s, e = k.rsplit("_", 2)
+        csv_lines.append(f"{vid},{s},{e},English,{words[i % 3]} number {i}")
+        csv_lines.append(f"{vid},{s},{e},Spanish,un hombre corre")
+    (tmp_path / "msvd.csv").write_text("\n".join(csv_lines) + "\n")
+    (tmp_path / "map.txt").write_text(
+        "".join(f"{k} vid{i + 1}\n" for i, k in enumerate(keys)))
+
+    cfg = get_preset("synthetic_tiny")
+    data = dataclasses.replace(cfg.data, dataset="msvd",
+                               data_dir=str(tmp_path), min_word_count=1)
+    cfg = dataclasses.replace(
+        cfg, data=data,
+        train=dataclasses.replace(cfg.train, num_steps=6, eval_every=0,
+                                  checkpoint_every=100, log_every=100,
+                                  checkpoint_dir=str(tmp_path / "ckpt")))
+
+    prepare(cfg.data, [str(tmp_path / "msvd.csv")],
+            mapping=str(tmp_path / "map.txt"))
+    # all 12 land in train (vid index ≤ 1200); write features for the split
+    import json
+    ids = json.load(open(tmp_path / "msvd_train_ids.json"))
+    assert ids == keys                       # canonical vid order preserved
+    rng = np.random.default_rng(0)
+    np.save(tmp_path / "msvd_train_feats.npy",
+            rng.normal(size=(len(ids), cfg.data.num_frames,
+                             cfg.data.feature_dim)).astype(np.float32))
+
+    ds = CaptionDataset.from_files(cfg.data, split="train")
+    assert ds.num_videos == n and ds.num_captions == n   # Spanish dropped
+    state = train(cfg, dataset=ds, logger=MetricsLogger(quiet=True))
+    assert int(state.step) == 6
+
+    cap = Captioner.from_state(cfg, ds, state)
+    results = cap.caption_dataset(method="greedy", batch_size=8)
+    assert set(results) == set(keys)
+    scores = evaluate_captions(
+        {v: ds.video_captions[v] for v in results}, results)
+    for k in ("Bleu_4", "CIDEr", "METEOR", "ROUGE_L"):
+        assert np.isfinite(scores[k])

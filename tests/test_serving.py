@@ -80,3 +80,33 @@ def test_serve_wrong_dim_skipped(tmp_path, tiny_cfg, tiny_dataset):
     assert served == 1
     lines = [l for l in out.getvalue().splitlines() if l]
     assert len(lines) == 1 and lines[0].startswith(str(good))
+
+
+def test_serve_with_mesh_captioner(tmp_path, tiny_cfg, tiny_dataset):
+    """CaptionServer over a mesh-routed Captioner (the serve --sharded path):
+    batched + partial + masked inputs decode over 8 virtual devices."""
+    import jax
+    import pytest
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from vidcap_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(tiny_cfg.mesh, num_data=8, num_model=1)
+    cap = Captioner.from_checkpoint(tiny_cfg, tiny_dataset,
+                                    checkpoint_dir=None, mesh=mesh)
+    server = CaptionServer(tiny_cfg, cap, batch_size=8)
+
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(10):    # full batch + partial flush
+        p = tmp_path / f"f{i}.npy"
+        t = tiny_cfg.data.num_frames if i % 2 else 2   # short inputs too
+        np.save(p, rng.normal(size=(t, tiny_cfg.data.feature_dim)
+                              ).astype(np.float32))
+        paths.append(str(p))
+
+    out = io.StringIO()
+    served = server.run(inp=io.StringIO("\n".join(paths) + "\n"), out=out)
+    lines = [l for l in out.getvalue().splitlines() if l]
+    assert served == 10 and len(lines) == 10
+    assert any(k[0] == "sharded" for k in cap._compiled)

@@ -144,12 +144,23 @@ def sample_decode(step_fn, state, batch: int, max_len: int, rng: Array,
 def duplicate_state(state, batch: int):
     """[greedy-block; sample-block] duplication of a decode state: every leaf's
     B batch rows become 2B rows (block layout, NOT interleaved — callers slice
-    ``[:B]``/``[B:]``). DecoderState leaves are [B, ...] except h/c
-    ([layers, B, H])."""
+    ``[:B]``/``[B:]``). DecoderState is handled explicitly (h/c carry a
+    leading LAYERS axis — a shape heuristic mis-fires when
+    num_lstm_layers == batch_size, review r2)."""
+    from vidcap_tpu.models.decoder import DecoderState
+
+    if isinstance(state, DecoderState):
+        return DecoderState(
+            h=jnp.concatenate([state.h, state.h], axis=1),
+            c=jnp.concatenate([state.c, state.c], axis=1),
+            keys=jnp.concatenate([state.keys, state.keys], axis=0),
+            values=jnp.concatenate([state.values, state.values], axis=0),
+            frame_mask=jnp.concatenate([state.frame_mask, state.frame_mask],
+                                       axis=0))
 
     def dup(x):
         if x.ndim >= 2 and x.shape[0] != batch and x.shape[1] == batch:
-            return jnp.concatenate([x, x], axis=1)     # h/c: [L, 2B, H]
+            return jnp.concatenate([x, x], axis=1)
         return jnp.concatenate([x, x], axis=0)
 
     return jax.tree_util.tree_map(dup, state)
@@ -598,7 +609,17 @@ def beam_decode_pool(step_fn, state, batch: int, max_len: int,
 def tile_state(state, beam_width: int, batch: int):
     """Repeat each batch row K times along the batch axis of every state leaf.
 
-    DecoderState leaves are [B, ...] except h/c which are [layers, B, H]."""
+    DecoderState is handled explicitly (h/c carry a leading LAYERS axis; the
+    generic shape heuristic mis-fires when num_lstm_layers == batch_size)."""
+    from vidcap_tpu.models.decoder import DecoderState
+
+    if isinstance(state, DecoderState):
+        return DecoderState(
+            h=jnp.repeat(state.h, beam_width, axis=1),      # [L, B*K, H]
+            c=jnp.repeat(state.c, beam_width, axis=1),
+            keys=jnp.repeat(state.keys, beam_width, axis=0),
+            values=jnp.repeat(state.values, beam_width, axis=0),
+            frame_mask=jnp.repeat(state.frame_mask, beam_width, axis=0))
 
     def tile(x):
         if x.ndim >= 2 and x.shape[0] != batch and x.shape[1] == batch:

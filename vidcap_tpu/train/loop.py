@@ -111,18 +111,19 @@ def train(
     best_ckpt = None
     best_cider = -1.0
     eval_on_train = val_dataset is None
-    if eval_on_train:
+    if eval_on_train and eval_every > 0:
         # No val split: fall back to a CAPPED train subset. Selection by
         # training fit is overfit-prone and decoding the full train set every
         # eval stalls the loop for minutes on real corpora — cap it, and mark
         # every eval record so the substitution is visible in the logs.
+        # (Subset construction re-tokenizes those videos' captions, so only
+        # do it when periodic eval is actually on.)
         val = _subset_dataset(dataset, max_videos=200)
-        if eval_every > 0:
-            import sys
-            print(f"[vidcap] no val split — periodic eval scores a "
-                  f"{val.num_videos}-video TRAIN subset; 'best' checkpoint "
-                  f"selection reflects training fit, not held-out quality",
-                  file=sys.stderr)
+        import sys
+        print(f"[vidcap] no val split — periodic eval scores a "
+              f"{val.num_videos}-video TRAIN subset; 'best' checkpoint "
+              f"selection reflects training fit, not held-out quality",
+              file=sys.stderr)
     else:
         val = val_dataset
 

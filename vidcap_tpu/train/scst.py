@@ -50,21 +50,27 @@ def make_scst_step(model: VidCapModel, cfg: Config, dataset=None,
             return model.apply({"params": params}, feats,
                                method=VidCapModel.init_state)
 
-        def rescored_sample(s_roll):
-            """ONE differentiable teacher-forced re-score of the sampled
-            tokens — gradients identical to BPTT through the sampling scan
-            (same recurrence, same fixed tokens), at teacher-forcing cost."""
+        def pg_rollout(logits, s_roll):
+            """Sampled-token Rollout from teacher-forced logits: temperature-
+            scaled logp of each emitted token, masked — the ONE place the PG
+            re-score semantics live (both fused branches use it)."""
             from vidcap_tpu.models.decoding import Rollout
-            from vidcap_tpu.objectives.xe import shift_right
-            logits = model.apply({"params": params}, feats, None,
-                                 shift_right(s_roll.tokens),
-                                 method=VidCapModel.xe_logits)
             logp_all = jax.nn.log_softmax(
                 logits / jnp.maximum(cfg.decode.temperature, 1e-6), axis=-1)
             logp = jnp.take_along_axis(
                 logp_all, s_roll.tokens[..., None], axis=-1)[..., 0]
             return Rollout(tokens=s_roll.tokens, logp=logp * s_roll.mask,
                            mask=s_roll.mask)
+
+        def rescored_sample(s_roll):
+            """ONE differentiable teacher-forced re-score of the sampled
+            tokens — gradients identical to BPTT through the sampling scan
+            (same recurrence, same fixed tokens), at teacher-forcing cost."""
+            from vidcap_tpu.objectives.xe import shift_right
+            logits = model.apply({"params": params}, feats, None,
+                                 shift_right(s_roll.tokens),
+                                 method=VidCapModel.xe_logits)
+            return pg_rollout(logits, s_roll)
 
         if use_pallas:
             # fused-kernel rollouts (forward only) + re-score
@@ -101,7 +107,6 @@ def make_scst_step(model: VidCapModel, cfg: Config, dataset=None,
                 # fold the XE anchor into the SAME teacher-forced pass: one
                 # 2B-row scan re-scores the sampled tokens (PG half,
                 # temperature-scaled) AND the ground-truth captions (XE half)
-                from vidcap_tpu.models.decoding import Rollout
                 from vidcap_tpu.objectives.xe import (masked_xe_loss,
                                                       shift_right)
                 Ls = s_roll.tokens.shape[1]
@@ -114,13 +119,7 @@ def make_scst_step(model: VidCapModel, cfg: Config, dataset=None,
                 logits2 = model.apply({"params": params}, feats2, None,
                                       shift_right(toks2),
                                       method=VidCapModel.xe_logits)
-                logp_all = jax.nn.log_softmax(
-                    logits2[:B, :Ls]
-                    / jnp.maximum(cfg.decode.temperature, 1e-6), axis=-1)
-                logp = jnp.take_along_axis(
-                    logp_all, s_roll.tokens[..., None], axis=-1)[..., 0]
-                sample = Rollout(tokens=s_roll.tokens,
-                                 logp=logp * s_roll.mask, mask=s_roll.mask)
+                sample = pg_rollout(logits2[:B, :Ls], s_roll)
                 xe_precomputed, _ = masked_xe_loss(
                     logits2[B:, :Lg], batch["tokens"], batch["mask"])
             else:
