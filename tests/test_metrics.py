@@ -172,3 +172,61 @@ def test_meteor_empty_inputs():
     assert meteor_sentence([["a"]], []) == 0.0
     system, per = meteor({"v": [["a"]]}, {"v": []})
     assert system == 0.0 and per["v"] == 0.0
+
+
+def test_meteor_aligner_optimal_vs_bruteforce():
+    """Property test: on small sentences (where exhaustive search is feasible)
+    the beam aligner must achieve the optimal (matches desc, chunks asc,
+    total-distance asc) alignment — repeated words included, which is where
+    greedy aligners go wrong."""
+    import itertools
+
+    from vidcap_tpu.metrics.meteor import W_EXACT, W_STEM, _align, porter_stem
+
+    def brute_force(ref, cand):
+        opts = []
+        for w in cand:
+            o = []
+            for j, r in enumerate(ref):
+                if w == r:
+                    o.append((j, W_EXACT))
+                elif porter_stem(w) == porter_stem(r):
+                    o.append((j, W_STEM))
+            opts.append(o + [None])          # None = leave unmatched
+        best = None
+        for choice in itertools.product(*opts):
+            used = set()
+            matches = []
+            ok = True
+            for i, c in enumerate(choice):
+                if c is None:
+                    continue
+                j, wt = c
+                if j in used:
+                    ok = False
+                    break
+                used.add(j)
+                matches.append((i, j, wt))
+            if not ok:
+                continue
+            chunks, prev = 0, None
+            for i, j, _ in matches:
+                if prev is None or i != prev[0] + 1 or j != prev[1] + 1:
+                    chunks += 1
+                prev = (i, j)
+            key = (-len(matches), chunks,
+                   sum(abs(i - j) for i, j, _ in matches))
+            if best is None or key < best:
+                best = key
+        return best
+
+    rng = np.random.default_rng(13)
+    vocab = ["cat", "dog", "runs", "the", "a", "cats", "running"]
+    for _ in range(40):
+        ref = [vocab[i] for i in rng.integers(0, len(vocab), size=5)]
+        cand = [vocab[i] for i in rng.integers(0, len(vocab), size=4)]
+        matches, chunks = _align(ref, cand)
+        got = (-len(matches), chunks,
+               sum(abs(i - j) for i, j, _ in matches))
+        want = brute_force(ref, cand)
+        assert got == want, (ref, cand, got, want)
