@@ -1,0 +1,67 @@
+"""CLI-level staged training + sharded serving via subprocess on the CPU
+backend (mirrors test_fault_sigkill's env trick): covers cmd_train's staged
+loop with cross-stage restore, and cmd_serve --sharded building a real mesh."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _env(n_devices=8):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO            # drop the axon sitecustomize → CPU
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + f" --xla_force_host_platform_device_count={n_devices}"
+                        ).strip()
+    env["VIDCAP_NO_COMPILE_CACHE"] = "1"
+    return env
+
+
+@pytest.mark.slow
+def test_cli_staged_xe_scst(tmp_path):
+    """`train --stages xe,scst`: stage 2 resumes from stage 1's checkpoint
+    (cross-stage restore) and SCST metrics appear in the log."""
+    r = subprocess.run(
+        [sys.executable, "-m", "vidcap_tpu", "train",
+         "--preset", "synthetic_tiny", "--steps", "4",
+         "--stages", "xe,scst", "--log-file", "log.jsonl"],
+        cwd=tmp_path, env=_env(), capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-800:]
+    rows = [json.loads(l) for l in open(tmp_path / "log.jsonl")]
+    assert any("xe_loss" in row for row in rows)
+    scst_rows = [row for row in rows if "reward_sample" in row]
+    assert scst_rows, rows
+    assert max(row["step"] for row in rows) == 8      # 4 xe + 4 scst
+    assert np.isfinite(scst_rows[-1]["reward_sample"])
+
+
+@pytest.mark.slow
+def test_cli_serve_sharded(tmp_path):
+    """`serve --sharded` on 8 virtual CPU devices: mesh decode end-to-end
+    through the real CLI."""
+    T, D = 4, 32   # synthetic_tiny shapes — keep in sync with the preset
+    from vidcap_tpu.config import get_preset
+    cfg = get_preset("synthetic_tiny")
+    T, D = cfg.data.num_frames, cfg.data.feature_dim
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(5):
+        p = tmp_path / f"f{i}.npy"
+        np.save(p, rng.normal(size=(T, D)).astype(np.float32))
+        lines.append(str(p))
+    r = subprocess.run(
+        [sys.executable, "-m", "vidcap_tpu", "serve",
+         "--preset", "synthetic_tiny", "--batch", "8", "--sharded",
+         "--method", "beam", "--beam", "3"],
+        cwd=tmp_path, env=_env(), input="\n".join(lines) + "\n",
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-800:]
+    out_lines = [l for l in r.stdout.splitlines() if "\t" in l]
+    assert len(out_lines) == 5, r.stdout
+    assert "served 5 captions" in r.stderr
