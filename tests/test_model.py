@@ -152,3 +152,33 @@ def test_vocab_mask_bias_fold_equivalence(tiny_cfg, tiny_dataset):
                                  method=VidCapModel.step_beam)
     np.testing.assert_array_equal(np.asarray(logits_where),
                                   np.asarray(logits_fold))
+
+
+def test_lstm_cell_matches_numpy_oracle():
+    """SURVEY §4.2: the fused-gate LSTM cell vs a hand-rolled numpy LSTM with
+    the same (i, f, g, o) gate layout and the reference-style +1 forget bias."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vidcap_tpu.models.decoder import LSTMCell
+
+    H, E, B = 5, 7, 3
+    cell = LSTMCell(hidden_dim=H, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.normal(size=(B, E)), jnp.float32)
+    h0 = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
+    c0 = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
+    params = cell.init(jax.random.key(0), x, h0, c0)["params"]
+    h1, c1 = cell.apply({"params": params}, x, h0, c0)
+
+    def sigmoid(z):
+        return 1.0 / (1.0 + np.exp(-z))
+
+    w = np.asarray(params["w"])             # [(E+H), 4H]
+    b = np.asarray(params["b"])
+    gates = np.concatenate([np.asarray(x), np.asarray(h0)], -1) @ w + b
+    i, f, g, o = np.split(gates, 4, axis=-1)
+    c_ref = sigmoid(f + 1.0) * np.asarray(c0) + sigmoid(i) * np.tanh(g)
+    h_ref = sigmoid(o) * np.tanh(c_ref)
+    np.testing.assert_allclose(np.asarray(c1), c_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h1), h_ref, rtol=1e-5, atol=1e-6)
