@@ -182,3 +182,34 @@ def test_lstm_cell_matches_numpy_oracle():
     h_ref = sigmoid(o) * np.tanh(c_ref)
     np.testing.assert_allclose(np.asarray(c1), c_ref, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(h1), h_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_temporal_attention_matches_numpy_oracle():
+    """SURVEY §4.2: Bahdanau attention scores/softmax/context vs hand-rolled
+    numpy (f32 compute dtype so the oracle is exact to float tolerance)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vidcap_tpu.models.decoder import TemporalAttention
+
+    B, T, H, A, Dv = 3, 5, 6, 4, 7
+    attn = TemporalAttention(attn_dim=A, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(23)
+    h = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
+    keys = jnp.asarray(rng.normal(size=(B, T, A)), jnp.float32)
+    values = jnp.asarray(rng.normal(size=(B, T, Dv)), jnp.float32)
+    mask = jnp.asarray((rng.random((B, T)) > 0.3).astype(np.float32))
+    mask = mask.at[:, 0].set(1.0)           # ≥1 valid frame per row
+    params = attn.init(jax.random.key(1), h, keys, values, mask)["params"]
+    ctx, a = attn.apply({"params": params}, h, keys, values, mask)
+
+    wq = np.asarray(params["query"]["kernel"])
+    u = np.asarray(params["u"])
+    q = np.asarray(h) @ wq                                    # [B, A]
+    scores = np.tanh(np.asarray(keys) + q[:, None, :]) @ u    # [B, T]
+    scores = np.where(np.asarray(mask) > 0, scores, -1e30)
+    e = np.exp(scores - scores.max(-1, keepdims=True))
+    w = e / e.sum(-1, keepdims=True)
+    ctx_ref = np.einsum("bt,btd->bd", w, np.asarray(values))
+    np.testing.assert_allclose(np.asarray(a), w, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ctx), ctx_ref, rtol=1e-5, atol=1e-6)
