@@ -646,7 +646,6 @@ def beam_decode_fused(step_h_fn, out_w, out_b, state, batch: int,
     (ops/pallas_topk.py): ``step_h_fn(state, tok) → (state, h [B*K, H])``; the
     [B·K, V] logits never hit HBM. Semantics match :func:`beam_decode` — the
     union of per-row top-Ks contains the global top-K (up to tie order)."""
-    from vidcap_tpu.models.decoder import DecoderState
     from vidcap_tpu.ops.pallas_topk import topk_project
 
     K = beam_width
@@ -654,16 +653,9 @@ def beam_decode_fused(step_h_fn, out_w, out_b, state, batch: int,
     NEG = -1e30
 
     def lp_norm(logp, lengths):
-        if length_penalty == 0.0:
-            return logp
-        return logp / ((5.0 + lengths) / 6.0) ** length_penalty
+        return logp / _lp_factor(length_penalty, lengths)
 
-    def gather_state(st, flat_src):
-        if isinstance(st, DecoderState):
-            return DecoderState(h=st.h[:, flat_src], c=st.c[:, flat_src],
-                                keys=st.keys, values=st.values,
-                                frame_mask=st.frame_mask)
-        return jax.tree_util.tree_map(lambda x: x[flat_src], st)
+    gather_state = _make_state_gather(B, K, recurrent_only_gather=True)
 
     def step(carry, t):
         st, prev_tok, alive_logp, alive_seq, finished = carry
