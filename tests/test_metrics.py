@@ -174,6 +174,21 @@ def test_meteor_empty_inputs():
     assert system == 0.0 and per["v"] == 0.0
 
 
+def test_meteor_empty_candidate_counts_ref_denominator():
+    """ADVICE r2: the jar counts a zero-match segment's reference denominator
+    in the system totals; dropping empty-candidate segments instead would let
+    the python score EXCEED the jar's, breaking the strict-lower-bound claim."""
+    from vidcap_tpu.metrics.meteor import meteor
+
+    gts = {"v1": [["a", "man", "is", "running"]], "v2": [["a", "dog"]]}
+    s_full, _ = meteor({"v1": gts["v1"]}, {"v1": ["a", "man", "is", "running"]})
+    s_mixed, per = meteor(gts, {"v1": ["a", "man", "is", "running"], "v2": []})
+    assert per["v2"] == 0.0
+    # v2's reference words enter r_den with zero matches → recall (and the
+    # system score) must drop below the v1-only corpus score
+    assert s_mixed < s_full
+
+
 def test_meteor_aligner_optimal_vs_bruteforce():
     """Property test: on small sentences (where exhaustive search is feasible)
     the beam aligner must achieve the optimal (matches desc, chunks asc,

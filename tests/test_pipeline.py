@@ -29,6 +29,26 @@ def test_epoch_rollover_and_coverage(tiny_dataset):
     assert b.state.epoch in (0, 1)
 
 
+def test_captionless_split_video_batches(tiny_cfg, tiny_dataset):
+    """ADVICE r2: a fully caption-less split (MSR-VTT test-server decode-only
+    eval) must still yield fixed-shape video batches — np.argmax over the
+    empty caption axis used to crash."""
+    from vidcap_tpu.data.loader import CaptionDataset
+
+    n, cfg = 5, tiny_cfg.data
+    feats = np.zeros((n, cfg.num_frames, cfg.feature_dim), np.float32)
+    ids = [f"v{i}" for i in range(n)]
+    ds = CaptionDataset(feats, ids, {v: [] for v in ids}, cfg,
+                        vocab=tiny_dataset.vocab)
+    assert ds.num_captions == 0
+    batches = list(ds.video_batches(batch_size=4))
+    assert len(batches) == 2
+    for b in batches:
+        assert b.tokens.shape == (4, cfg.max_caption_len)
+        assert not b.tokens.any() and not b.mask.any()
+        assert b.features.shape == (4, cfg.num_frames, cfg.feature_dim)
+
+
 def test_prefetch_yields_same_stream(tiny_dataset):
     plain = DeterministicBatcher(tiny_dataset, batch_size=8, seed=9)
     pre = PrefetchBatcher(DeterministicBatcher(tiny_dataset, batch_size=8,

@@ -137,6 +137,68 @@ def test_e2e_optimizer_decay_warmup_and_scale(tiny_cfg):
         np.testing.assert_allclose(leaf, 0.0, atol=1e-12)
 
 
+def test_stage_change_resume_reinits_optimizer(tmp_path, tiny_cfg,
+                                               tiny_dataset, capfd):
+    """ADVICE r2: xe→scst opt_state structures are IDENTICAL, so a plain
+    restore succeeds and silently carries XE's adam moments into the SCST
+    objective. The stage recorded in the checkpoint sidecar must route the
+    resume through restore_params_only instead."""
+    from vidcap_tpu.train.checkpoint import CheckpointManager
+
+    ckdir = str(tmp_path / "ck")
+    cfg = dataclasses.replace(
+        tiny_cfg, train=dataclasses.replace(
+            tiny_cfg.train, checkpoint_dir=ckdir, num_steps=2,
+            checkpoint_every=2, eval_every=0))
+    train(cfg, dataset=tiny_dataset, logger=MetricsLogger())
+    mgr = CheckpointManager(ckdir)
+    assert mgr.saved_stage() == "xe"
+
+    # unit level: identical structure, but the fresh restore has zero moments
+    scst_cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, stage="scst", num_steps=4))
+    model = create_model(scst_cfg, vocab_size=tiny_dataset.vocab.size)
+    params = init_params(model, scst_cfg, jax.random.key(0))
+    scst_state = create_train_state(scst_cfg, params)
+    carried = mgr.restore(scst_state)          # plain restore would succeed…
+    assert any(np.any(np.asarray(leaf) != 0)
+               for leaf in jax.tree_util.tree_leaves(carried.opt_state)
+               if hasattr(leaf, "shape") and np.asarray(leaf).ndim > 0)
+    fresh = mgr.restore_params_only(scst_state)
+    for leaf in jax.tree_util.tree_leaves(fresh.opt_state):
+        if hasattr(leaf, "shape") and np.asarray(leaf).ndim > 0:
+            assert not np.asarray(leaf).any()  # …but moments must start fresh
+    mgr.close()
+
+    # loop level: train() detects the stage change and says so
+    train(scst_cfg, dataset=tiny_dataset, logger=MetricsLogger(), resume=True)
+    assert "resuming across stages (xe → scst)" in capfd.readouterr().err
+
+
+def test_restore_params_only_rejects_mismatched_template(tmp_path, tiny_cfg,
+                                                         tiny_dataset):
+    """ADVICE r2: a corrupt/foreign checkpoint must surface loudly — the
+    params-only path verifies the restored tree against the model template."""
+    import pytest
+
+    from vidcap_tpu.train.checkpoint import CheckpointManager
+
+    model = create_model(tiny_cfg, vocab_size=tiny_dataset.vocab.size)
+    params = init_params(model, tiny_cfg, jax.random.key(0))
+    state = create_train_state(tiny_cfg, params)
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(state, stage="xe")
+    mgr.wait()
+
+    # +512 guarantees a different PADDED vocab (vocab pads to multiples of 128)
+    other = create_model(tiny_cfg, vocab_size=tiny_dataset.vocab.size + 512)
+    other_params = init_params(other, tiny_cfg, jax.random.key(0))
+    other_state = create_train_state(tiny_cfg, other_params)
+    with pytest.raises(ValueError, match="shape"):
+        mgr.restore_params_only(other_state)
+    mgr.close()
+
+
 def test_cross_stage_restore_params_only(tmp_path, tiny_cfg, tiny_dataset):
     """ADVICE r1: an xe checkpoint's adam opt_state cannot restore into the
     e2e multi_transform structure — the cross-stage path restores params only

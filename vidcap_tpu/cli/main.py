@@ -41,6 +41,14 @@ def cmd_train(args) -> int:
     if args.steps:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, num_steps=args.steps))
+    if args.batch_size:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           batch_size=args.batch_size))
+    # --sharded: multi-chip training over all visible chips (SURVEY.md §2.3
+    # "DP core"): batch shards over the mesh's data axis, grads psum over ICI,
+    # the optional model axis carries the vocab-TP seam
+    mesh = _serving_mesh(cfg, args.sharded)
     from vidcap_tpu.train.loop import train
     from vidcap_tpu.utils.logging import MetricsLogger
     logger = MetricsLogger(path=args.log_file)
@@ -62,7 +70,7 @@ def cmd_train(args) -> int:
                 cfg.train, stage=stage.strip(),
                 num_steps=cfg.train.num_steps * (i + 1)))
         train(scfg, dataset=dataset, logger=logger,
-              resume=args.resume or i > 0, val_dataset=val_dataset)
+              resume=args.resume or i > 0, val_dataset=val_dataset, mesh=mesh)
     return 0
 
 
@@ -141,13 +149,15 @@ def cmd_convert(args) -> int:
 
 
 def _serving_mesh(cfg, sharded: bool):
-    """--sharded: decode over all visible chips (GSPMD data axis)."""
+    """--sharded: build a mesh over all visible chips (GSPMD data axis, plus
+    the vocab-TP model axis when cfg.mesh.num_model > 1). Used by both
+    `serve --sharded` (decode) and `train --sharded` (training)."""
     if not sharded:
         return None
     import jax
     if jax.device_count() < 2:
         print("[vidcap] --sharded requested but only one device visible; "
-              "single-device decode", file=sys.stderr)
+              "running single-device", file=sys.stderr)
         return None
     from vidcap_tpu.parallel.mesh import make_mesh
     return make_mesh(cfg.mesh)
@@ -163,7 +173,8 @@ def cmd_serve(args) -> int:
         seed=args.seed, mesh=_serving_mesh(cfg, args.sharded))
     server = CaptionServer(cfg, cap, batch_size=args.batch,
                            method=args.method or cfg.decode.method,
-                           beam_width=args.beam or cfg.decode.beam_width)
+                           beam_width=args.beam or cfg.decode.beam_width,
+                           max_wait_ms=args.max_wait_ms)
     server.run()
     return 0
 
@@ -181,10 +192,16 @@ def main(argv=None) -> int:
     t = sub.add_parser("train", help="run the preset's training stage(s)")
     common(t)
     t.add_argument("--steps", type=int, default=None)
+    t.add_argument("--batch-size", type=int, default=None,
+                   help="override the preset batch size (must divide the "
+                        "data-axis size under --sharded)")
     t.add_argument("--stages", default=None,
                    help="comma list overriding the preset stage, e.g. xe,scst")
     t.add_argument("--resume", action="store_true")
     t.add_argument("--log-file", default=None)
+    t.add_argument("--sharded", action="store_true",
+                   help="train over all visible chips (GSPMD: batch sharded "
+                        "over the data axis, grads psum over ICI)")
     t.set_defaults(fn=cmd_train)
 
     c = sub.add_parser("caption", help="decode the eval split, write json")
@@ -245,6 +262,9 @@ def main(argv=None) -> int:
                     help="reproducible sampling seed (method=sample)")
     sv.add_argument("--sharded", action="store_true",
                     help="decode over all visible chips (GSPMD data sharding)")
+    sv.add_argument("--max-wait-ms", type=float, default=None,
+                    help="flush a partial batch once its oldest request has "
+                         "waited this long (default: wait for a full batch)")
     sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)

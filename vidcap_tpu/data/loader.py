@@ -170,13 +170,23 @@ class CaptionDataset:
                 sel = np.concatenate(
                     [sel, np.full(batch_size - len(sel), sel[-1], dtype=sel.dtype)]
                 )
-            first = self.caption_video_idx == sel[:, None]  # [B, M]
-            # a caption row per video (first one) for teacher-forced scoring paths
-            cap_rows = np.argmax(first, axis=1)
+            if self.tokens.shape[0] == 0:
+                # fully caption-less split (decode-only eval): there is no
+                # caption row to pair — emit all-pad token rows so the batch
+                # keeps its fixed shape (np.argmax over an empty axis dies)
+                tokens = np.zeros((batch_size, self.cfg.max_caption_len),
+                                  dtype=np.int32)
+                mask = np.zeros_like(tokens, dtype=np.float32)
+            else:
+                first = self.caption_video_idx == sel[:, None]  # [B, M]
+                # a caption row per video (first one) for teacher-forced
+                # scoring paths
+                cap_rows = np.argmax(first, axis=1)
+                tokens, mask = self.tokens[cap_rows], self.mask[cap_rows]
             yield Batch(
                 features=self.features[sel],
-                tokens=self.tokens[cap_rows],
-                mask=self.mask[cap_rows],
+                tokens=tokens,
+                mask=mask,
                 attributes=self.attributes[sel],
                 video_idx=sel.astype(np.int32),
             )

@@ -329,9 +329,17 @@ def meteor(gts: Dict[str, List[Tokens]], res: Dict[str, Tokens]
                 sc = st.score()
                 if best_stats is None or sc > best_score:
                     best_stats, best_score = st, sc
+        if best_stats is None:
+            # zero-match degenerate segment (empty candidate and/or no usable
+            # reference): the jar still counts its denominators toward the
+            # system totals, so dropping it would let the python score exceed
+            # the jar's and break the documented strict-lower-bound claim.
+            refs = [r for r in gts.get(vid, []) if r]
+            r_den = (sum(_word_weight(w) for w in refs[0]) if refs else 0.0)
+            best_stats = _Stats(
+                p_den=sum(_word_weight(w) for w in cand), r_den=r_den)
         per[vid] = best_score
-        if best_stats is not None:
-            total.add(best_stats)
+        total.add(best_stats)
     return total.score(), per
 
 

@@ -77,10 +77,10 @@ def place_state(state: TrainState, mesh: Mesh) -> TrainState:
 
 # ----------------------------------------------------------------- sharded steps
 
-def make_sharded_xe_step(model: VidCapModel, cfg: Config, mesh: Mesh,
-                         base_step: Callable) -> Callable:
-    """Wrap a train step with GSPMD shardings: batch over 'data', params per the
-    TP rules. ``base_step`` is the unjitted step body (state, batch) → (state, m)."""
+def make_sharded_step(cfg: Config, mesh: Mesh, base_step: Callable) -> Callable:
+    """Wrap ANY train-step body with GSPMD shardings: batch over 'data', params
+    per the TP rules. ``base_step`` is the unjitted step body
+    (state, batch) → (state, metrics) — XE, e2e, and SCST bodies all work."""
     batch_sh = NamedSharding(mesh, batch_spec())
 
     def run(state: TrainState, batch: Dict[str, jax.Array]):
@@ -89,6 +89,13 @@ def make_sharded_xe_step(model: VidCapModel, cfg: Config, mesh: Mesh,
         return base_step(state, batch)
 
     return jax.jit(run, donate_argnums=(0,) if cfg.train.donate_state else ())
+
+
+def make_sharded_xe_step(model: VidCapModel, cfg: Config, mesh: Mesh,
+                         base_step: Callable) -> Callable:
+    """Back-compat name for :func:`make_sharded_step` (the wrapper is
+    objective-agnostic; ``model`` is unused)."""
+    return make_sharded_step(cfg, mesh, base_step)
 
 
 def make_sharded_decode(model: VidCapModel, cfg: Config, mesh: Mesh,

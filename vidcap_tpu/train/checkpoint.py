@@ -5,6 +5,7 @@ state (params, optimizer state, step, RNG key) and auto-resume-from-latest.
 """
 from __future__ import annotations
 
+import json
 import os
 from typing import Optional
 
@@ -24,12 +25,18 @@ class CheckpointManager:
                 max_to_keep=max_to_keep, enable_async_checkpointing=True),
         )
 
-    def save(self, state: TrainState, iter_state=None) -> None:
+    def save(self, state: TrainState, iter_state=None,
+             stage: Optional[str] = None) -> None:
         """iter_state: optional data/pipeline.IteratorState — saved alongside so
         a resumed run replays the exact remaining batch stream (SIGKILL-resume
         parity, SURVEY.md §5 failure recovery). The iter_state slot is ALWAYS
         written (sentinel [-1,-1,-1] when absent) so the checkpoint layout is
-        explicit rather than probed by exception type (ADVICE r1)."""
+        explicit rather than probed by exception type (ADVICE r1).
+
+        stage: the training stage ("xe"/"scst"/"e2e") that produced this
+        state, recorded in a sidecar so a resume can detect a stage CHANGE and
+        refuse to carry the previous objective's optimizer moments even when
+        the opt_state structures happen to match (ADVICE r2)."""
         import numpy as np
         payload = {"params": state.params, "opt_state": state.opt_state,
                    "step": state.step, "rng": jax.random.key_data(state.rng)}
@@ -40,6 +47,35 @@ class CheckpointManager:
         else:
             payload["iter_state"] = np.asarray([-1, -1, -1], np.int64)
         self._mgr.save(int(state.step), args=ocp.args.StandardSave(payload))
+        if stage is not None:
+            self._record_stage(int(state.step), stage)
+
+    # ------------------------------------------------------------ stage sidecar
+
+    def _stage_path(self) -> str:
+        return os.path.join(self.directory, "stage.json")
+
+    def _record_stage(self, step: int, stage: str) -> None:
+        try:
+            with open(self._stage_path()) as f:
+                rec = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            rec = {}
+        rec[str(step)] = stage
+        with open(self._stage_path(), "w") as f:
+            json.dump(rec, f)
+
+    def saved_stage(self, step: Optional[int] = None) -> Optional[str]:
+        """Stage recorded for ``step`` (default: latest), or None for
+        checkpoints written before stage recording existed."""
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            return None
+        try:
+            with open(self._stage_path()) as f:
+                return json.load(f).get(str(step))
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
@@ -88,9 +124,14 @@ class CheckpointManager:
         Needed when the optimizer STRUCTURE changed between stages (e.g. the
         xe adam chain → the e2e multi_transform chain): restoring the old
         opt_state into the new template is a structural error, and carrying
-        XE's adam moments into a different objective would be wrong anyway."""
+        XE's adam moments into a different objective would be wrong anyway.
+
+        The restored params tree is verified against the model template so a
+        genuinely corrupt/mismatched checkpoint surfaces here instead of
+        producing a broken TrainState (ADVICE r2)."""
         step = step if step is not None else self._mgr.latest_step()
         restored = self._mgr.restore(step, args=ocp.args.StandardRestore())
+        self._verify_params_tree(state.params, restored.get("params"))
         new_state = state.replace(
             params=restored["params"],
             opt_state=state.tx.init(restored["params"]),
@@ -105,6 +146,27 @@ class CheckpointManager:
             s, e, p = [int(x) for x in raw]
             iter_state = IteratorState(seed=s, epoch=e, position=p)
         return new_state, iter_state
+
+    @staticmethod
+    def _verify_params_tree(template, restored) -> None:
+        """Raise if the checkpoint's params don't structurally match the model
+        template (same tree, same leaf shapes)."""
+        if restored is None:
+            raise ValueError("checkpoint has no 'params' entry — corrupt or "
+                             "foreign checkpoint")
+        t_want = jax.tree_util.tree_structure(template)
+        t_got = jax.tree_util.tree_structure(restored)
+        if t_want != t_got:
+            raise ValueError(
+                f"checkpoint params tree does not match the model template:\n"
+                f"  template: {t_want}\n  checkpoint: {t_got}")
+        for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(template),
+                                jax.tree_util.tree_leaves(restored)):
+            if tuple(a.shape) != tuple(b.shape):
+                name = jax.tree_util.keystr(path)
+                raise ValueError(
+                    f"checkpoint param {name} has shape {tuple(b.shape)}, "
+                    f"model expects {tuple(a.shape)}")
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

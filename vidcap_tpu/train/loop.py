@@ -62,13 +62,20 @@ def train(
     resume: bool = False,
     make_step: Optional[Callable] = None,
     val_dataset: Optional[CaptionDataset] = None,
+    mesh=None,
 ) -> TrainState:
     """Run one training stage; returns the final TrainState.
 
     Every ``cfg.train.eval_every`` steps the val split (``val_dataset``, or
     ``dataset`` itself when no val split exists) is greedy-decoded and scored;
     the checkpoint with the best CIDEr is kept under
-    ``{checkpoint_dir}/best`` (best-checkpoint selection, SURVEY.md §5)."""
+    ``{checkpoint_dir}/best`` (best-checkpoint selection, SURVEY.md §5).
+
+    mesh: optional ``jax.sharding.Mesh`` — multi-chip training (SURVEY.md
+    §2.3 DP core + vocab-TP seam): the batch shards over the 'data' axis,
+    params place per the TP rules, XLA inserts the grad-reduction psum over
+    ICI. XE, e2e, and SCST stages all route through the sharded wrappers; the
+    checkpoint round-trips the sharded state (orbax records shardings)."""
     dataset = dataset or CaptionDataset.synthetic(cfg.data)
     logger = logger or MetricsLogger()
     num_steps = num_steps or cfg.train.num_steps
@@ -76,30 +83,73 @@ def train(
     model = create_model(cfg, vocab_size=dataset.vocab.size)
     params = init_params(model, cfg, jax.random.key(cfg.train.seed))
     state = create_train_state(cfg, params)
+    shard_batch_fn = None
+    if mesh is not None:
+        from vidcap_tpu.parallel.sharding import place_state, shard_batch
+        num_data = mesh.shape.get(cfg.mesh.data_axis, 1)
+        if cfg.train.batch_size % num_data != 0:
+            raise ValueError(
+                f"batch_size {cfg.train.batch_size} must divide evenly over "
+                f"the {num_data}-way '{cfg.mesh.data_axis}' mesh axis")
+        state = place_state(state, mesh)
+        shard_batch_fn = lambda b: shard_batch(b, mesh)  # noqa: E731
 
     from vidcap_tpu.data.pipeline import DeterministicBatcher
 
     ckpt = CheckpointManager(cfg.train.checkpoint_dir)
     iter_state = None
     if resume and ckpt.latest_step() is not None:
-        try:
-            state, iter_state = ckpt.restore(state, with_iter=True)
-        except (ValueError, KeyError, TypeError):
-            # opt_state structure mismatch — the checkpoint came from a stage
-            # with a different optimizer chain (xe→e2e). Params carry over;
-            # the optimizer starts fresh for the new objective.
+        ckpt_stage = ckpt.saved_stage()
+        if ckpt_stage is not None and ckpt_stage != cfg.train.stage:
+            # Explicit cross-stage resume (xe→scst / xe→e2e): NEVER carry the
+            # previous objective's optimizer moments, even when the opt_state
+            # structures happen to match (xe→scst's adam chains are
+            # structurally identical, so a plain restore would silently keep
+            # XE's moments — ADVICE r2). Params carry over; optimizer fresh.
             import sys
-            print("[vidcap] checkpoint opt_state doesn't match this stage's "
-                  "optimizer — restoring params only, optimizer re-initialised",
-                  file=sys.stderr)
+            print(f"[vidcap] resuming across stages ({ckpt_stage} → "
+                  f"{cfg.train.stage}): params restored, optimizer "
+                  f"re-initialised", file=sys.stderr)
             state, iter_state = ckpt.restore_params_only(state, with_iter=True)
+        else:
+            try:
+                state, iter_state = ckpt.restore(state, with_iter=True)
+            except (ValueError, KeyError, TypeError):
+                # Legacy checkpoint with no recorded stage and a different
+                # opt_state structure (pre-r3 xe→e2e). restore_params_only
+                # verifies the params tree against the model template, so a
+                # genuinely corrupt checkpoint still surfaces loudly here
+                # instead of being swallowed as a stage change (ADVICE r2).
+                import sys
+                print("[vidcap] checkpoint opt_state doesn't match this "
+                      "stage's optimizer — restoring params only, optimizer "
+                      "re-initialised", file=sys.stderr)
+                state, iter_state = ckpt.restore_params_only(
+                    state, with_iter=True)
+        if mesh is not None:
+            # params-only restores come back with default (single-device)
+            # placement; re-place onto the mesh (no-op when already placed)
+            from vidcap_tpu.parallel.sharding import place_state
+            state = place_state(state, mesh)
 
     if make_step is None:
         if cfg.train.stage in ("xe", "e2e"):
-            step_fn = make_xe_step(model, cfg)
+            if mesh is not None:
+                from vidcap_tpu.parallel.sharding import make_sharded_step
+                from vidcap_tpu.train.steps import make_xe_step_body
+                step_fn = make_sharded_step(
+                    cfg, mesh, make_xe_step_body(model, cfg))
+            else:
+                step_fn = make_xe_step(model, cfg)
         elif cfg.train.stage == "scst":
-            from vidcap_tpu.train.scst import make_scst_step
-            step_fn = make_scst_step(model, cfg, dataset)
+            from vidcap_tpu.train.scst import (make_scst_step,
+                                               make_scst_step_body)
+            if mesh is not None:
+                from vidcap_tpu.parallel.sharding import make_sharded_step
+                step_fn = make_sharded_step(
+                    cfg, mesh, make_scst_step_body(model, cfg, dataset))
+            else:
+                step_fn = make_scst_step(model, cfg, dataset)
         else:
             raise ValueError(f"unknown stage {cfg.train.stage!r}")
     else:
@@ -147,7 +197,7 @@ def train(
                 best_ckpt = CheckpointManager(
                     os.path.join(cfg.train.checkpoint_dir, "best"),
                     max_to_keep=1)
-            best_ckpt.save(state)
+            best_ckpt.save(state, stage=cfg.train.stage)
 
     start = int(state.step)
     # deterministic, checkpointable batch stream: a resumed run replays the
@@ -160,7 +210,10 @@ def train(
     t_last, s_last = time.time(), start
     for i in range(start, num_steps):
         batch = next(it)
-        state, metrics = step_fn(state, batch_to_device_dict(batch))
+        dbatch = batch_to_device_dict(batch)
+        if shard_batch_fn is not None:
+            dbatch = shard_batch_fn(dbatch)
+        state, metrics = step_fn(state, dbatch)
         if (i + 1) % cfg.train.log_every == 0 or i + 1 == num_steps:
             now = time.time()
             sps = (i + 1 - s_last) / max(now - t_last, 1e-9)
@@ -169,7 +222,7 @@ def train(
             metrics["steps_per_sec"] = sps
             logger.log(i + 1, metrics)
         if (i + 1) % cfg.train.checkpoint_every == 0 or i + 1 == num_steps:
-            ckpt.save(state, iter_state=it.state)
+            ckpt.save(state, iter_state=it.state, stage=cfg.train.stage)
         if eval_every > 0 and (i + 1) % eval_every == 0:
             maybe_eval(i + 1, state)
     if hasattr(it, "close"):

@@ -4,7 +4,6 @@ PG loss + optional multitask BCE — ONE jitted function, zero host round-trips
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Dict, Tuple
 
 import jax
@@ -23,10 +22,15 @@ from vidcap_tpu.train.steps import optax_global_norm
 Array = jax.Array
 
 
-def make_scst_step(model: VidCapModel, cfg: Config, dataset=None,
-                   tables: RewardTables = None) -> Callable:
-    """Build the jitted SCST step. Reward tables come from the dataset (host
-    build, once) and ride along as device constants."""
+def make_scst_step_body(model: VidCapModel, cfg: Config, dataset=None,
+                        tables: RewardTables = None) -> Callable:
+    """UNJITTED SCST step body. Reward tables come from the dataset (host
+    build, once) and ride along as device constants.
+
+    One body serves both the single-device step (``make_scst_step`` jits it)
+    and the GSPMD-sharded step (``parallel.sharding.make_sharded_xe_step``
+    wraps it with batch sharding constraints) — multi-chip SCST training uses
+    the exact same rollouts + on-device reward (SURVEY.md §2.3)."""
     if tables is None:
         from vidcap_tpu.objectives.reward_tables import tables_from_dataset
         assert dataset is not None, "need dataset or prebuilt tables"
@@ -168,8 +172,7 @@ def make_scst_step(model: VidCapModel, cfg: Config, dataset=None,
         metrics["loss"] = loss
         return loss, metrics
 
-    @partial(jax.jit, donate_argnums=(0,) if cfg.train.donate_state else ())
-    def step(state: TrainState, batch: Dict[str, Array]
+    def body(state: TrainState, batch: Dict[str, Array]
              ) -> Tuple[TrainState, Dict[str, Array]]:
         rng, sub = jax.random.split(state.rng)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -178,4 +181,11 @@ def make_scst_step(model: VidCapModel, cfg: Config, dataset=None,
         new_state = state.apply_gradients(grads)
         return new_state.replace(rng=rng), metrics
 
-    return step
+    return body
+
+
+def make_scst_step(model: VidCapModel, cfg: Config, dataset=None,
+                   tables: RewardTables = None) -> Callable:
+    """Jitted single-device SCST step."""
+    return jax.jit(make_scst_step_body(model, cfg, dataset, tables),
+                   donate_argnums=(0,) if cfg.train.donate_state else ())

@@ -81,7 +81,11 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
         # NOTE: multi_transform's opt_state STRUCTURE differs from the plain
         # adam chain, so a staged xe→e2e resume must restore params only and
-        # re-init the optimizer (train.loop handles this via fresh_opt_state).
+        # re-init the optimizer. train.loop detects the stage change via the
+        # stage recorded in the checkpoint sidecar (CheckpointManager.
+        # saved_stage) and routes it through restore_params_only; legacy
+        # stage-less checkpoints fall back via try/except on the structural
+        # restore error.
         chain.append(optax.multi_transform(
             {"backbone": _adam(bb_schedule), "rest": _adam(schedule)},
             scale_backbone))

@@ -7,7 +7,6 @@ contains both rollouts and the on-device reward — zero host round-trips
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Dict, Tuple
 
 import jax
@@ -22,11 +21,16 @@ from vidcap_tpu.train.state import TrainState
 Array = jax.Array
 
 
-def make_xe_step(model: VidCapModel, cfg: Config
-                 ) -> Callable[[TrainState, Dict[str, Array]],
-                               Tuple[TrainState, Dict[str, Array]]]:
-    """Cross-entropy (stage 1) or end-to-end (stage 3) train step; the multitask
-    attribute BCE joins the total loss when attribute_loss_weight > 0."""
+def make_xe_step_body(model: VidCapModel, cfg: Config
+                      ) -> Callable[[TrainState, Dict[str, Array]],
+                                    Tuple[TrainState, Dict[str, Array]]]:
+    """UNJITTED cross-entropy (stage 1) / end-to-end (stage 3) step body; the
+    multitask attribute BCE joins the total loss when attribute_loss_weight > 0.
+
+    One body serves both the single-device step (``make_xe_step`` jits it) and
+    the GSPMD-sharded step (``parallel.sharding.make_sharded_xe_step`` wraps it
+    with batch sharding constraints) — so DP == single-device parity compares
+    the exact same computation (SURVEY.md §2.3)."""
     attr_w = cfg.train.attribute_loss_weight
     dropout = cfg.model.dropout_rate > 0
     if dropout:
@@ -53,15 +57,22 @@ def make_xe_step(model: VidCapModel, cfg: Config
         metrics["loss"] = total
         return total, metrics
 
-    @partial(jax.jit, donate_argnums=(0,) if cfg.train.donate_state else ())
-    def step(state: TrainState, batch: Dict[str, Array]):
+    def body(state: TrainState, batch: Dict[str, Array]):
         rng, sub = jax.random.split(state.rng)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, sub)
         metrics["grad_norm"] = optax_global_norm(grads)
         return state.apply_gradients(grads).replace(rng=rng), metrics
 
-    return step
+    return body
+
+
+def make_xe_step(model: VidCapModel, cfg: Config
+                 ) -> Callable[[TrainState, Dict[str, Array]],
+                               Tuple[TrainState, Dict[str, Array]]]:
+    """Jitted single-device XE/e2e train step."""
+    return jax.jit(make_xe_step_body(model, cfg),
+                   donate_argnums=(0,) if cfg.train.donate_state else ())
 
 
 def optax_global_norm(tree) -> Array:
