@@ -20,8 +20,12 @@ Per step, entirely on-chip:
   5. recorded log-prob is the CLEAN log-softmax of the selected token
 
 Honest status (ARCHITECTURE.md "measured reality"): on v5e this model fits
-VMEM entirely and XLA's scan is ~25% faster, so the flag default is off; the
-kernel is the winning design when the vocab projection cannot stay resident.
+VMEM entirely and XLA's scan is ~25% faster, so the flag default is off. The
+hypothesized streamed-mode win ("when the vocab projection cannot stay
+resident") was MEASURED OUT in r3: at V=65,536 (W_out 64MB) XLA still wins by
+27% — v5e's real VMEM keeps even that resident (scripts/bench_streamed_vocab.py,
+ARCHITECTURE.md "Streamed design-regime test"). The kernel remains a tested
+flag-gated alternative for smaller-VMEM TPU generations.
 
 Used by inference (greedy/sample) and the SCST rollouts; gradients for SCST come
 from an XLA teacher-forced re-score of the sampled tokens (train/scst.py), so the
