@@ -119,9 +119,22 @@ class CaptionServer:
             q.put(line)
         q.put(_EOF)
 
-    def run(self, inp: Optional[IO] = None, out: Optional[IO] = None) -> int:
+    def warmup(self) -> None:
+        """Compile the decode program before consuming input, so the first
+        request's latency is a dispatch, not the one-time jit (measured r3:
+        15 s warm-cache / up to ~6 min cold over the remote-compile tunnel)."""
+        T, D = self.cfg.data.num_frames, self.cfg.data.feature_dim
+        self.captioner.decode_batch(
+            np.zeros((self.batch_size, T, D), np.float32),
+            method=self.method, beam_width=self.beam_width,
+            frame_mask=np.ones((self.batch_size, T), np.float32))
+
+    def run(self, inp: Optional[IO] = None, out: Optional[IO] = None,
+            warmup: bool = True) -> int:
         inp = inp or sys.stdin
         out = out or sys.stdout
+        if warmup:
+            self.warmup()
         paths: List[str] = []
         feats: List[np.ndarray] = []
         arrivals: List[float] = []
