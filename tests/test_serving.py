@@ -144,6 +144,42 @@ def test_serve_flush_on_timeout(tmp_path, tiny_cfg, tiny_dataset):
     assert p50 is not None and p99 >= p50 > 0
 
 
+def test_serve_pipelined_overlaps_load_and_decode(tiny_cfg, tiny_dataset,
+                                                 monkeypatch):
+    """pipeline_depth>0: batch N+1's input loading overlaps batch N's decode
+    (the video-path case where cv2+backbone load dominates), output order
+    preserved. Stubbed load/decode sleeps make the timing deterministic."""
+    import time
+
+    cap = Captioner.from_checkpoint(tiny_cfg, tiny_dataset, checkpoint_dir=None)
+    server = CaptionServer(tiny_cfg, cap, batch_size=2, pipeline_depth=1)
+    T, D = tiny_cfg.data.num_frames, tiny_cfg.data.feature_dim
+    L = tiny_cfg.decode.max_len
+
+    monkeypatch.setattr(
+        server, "_load_features",
+        lambda path: (time.sleep(0.06),
+                      np.zeros((T, D), np.float32))[1])     # 60ms/row load
+    monkeypatch.setattr(
+        cap, "decode_batch",
+        lambda *a, **k: (time.sleep(0.12),
+                         np.zeros((2, L), np.int32))[1])    # 120ms/batch decode
+
+    import io
+    lines = "\n".join(f"p{i}.npy" for i in range(8)) + "\n"  # 4 batches of 2
+    out = io.StringIO()
+    t0 = time.perf_counter()
+    served = server.run(inp=io.StringIO(lines), out=out, warmup=False)
+    dt = time.perf_counter() - t0
+
+    assert served == 8
+    outs = [l.split("\t")[0] for l in out.getvalue().splitlines() if l]
+    assert outs == [f"p{i}.npy" for i in range(8)]           # order preserved
+    # serial: 4 x (120ms load + 120ms decode) = 0.96s; pipelined: loads hide
+    # behind decodes -> ~0.60s. Generous bound still proves the overlap.
+    assert dt < 0.85, f"no load/decode overlap: {dt:.2f}s"
+
+
 def test_serve_with_mesh_captioner(tmp_path, tiny_cfg, tiny_dataset):
     """CaptionServer over a mesh-routed Captioner (the serve --sharded path):
     batched + partial + masked inputs decode over 8 virtual devices."""
