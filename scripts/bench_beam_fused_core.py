@@ -45,7 +45,11 @@ def main(B=208, iters=8):
                                method=VidCapModel.step_beam)
         return step
 
-    fused_step = make_fused_beam_step(model, params, K)
+    def fused_step_maker(p):
+        # built INSIDE the jit from the traced params so both arms thread
+        # weights identically (baking the fused arm's weights in as
+        # compile-time constants made the arms incomparable — review r3)
+        return make_fused_beam_step(model, p, K)
 
     def decode_with(step, p, f):
         state = model.apply({"params": p}, f, method=VidCapModel.init_state)
@@ -55,10 +59,11 @@ def main(B=208, iters=8):
         return toks
 
     results = {}
-    for name, step_for in (("xla", None), ("fused", fused_step)):
+    for name, step_maker in (("xla", xla_step_maker),
+                             ("fused", fused_step_maker)):
         @jax.jit
-        def decode_many(p, fs, _step_for=step_for):
-            step = _step_for if _step_for is not None else xla_step_maker(p)
+        def decode_many(p, fs, _maker=step_maker):
+            step = _maker(p)
             outs = []
             for i in range(iters):      # python-unrolled (no lax.map)
                 outs.append(decode_with(step, p, fs[i]))

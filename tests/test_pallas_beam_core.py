@@ -57,9 +57,8 @@ def test_fused_step_matches_xla(setup):
 
 def test_fused_beam_decode_tokens_match(setup):
     cfg, model, params, state, B, K = setup
-    pv = model.decoder.padded_vocab if hasattr(model, "decoder") else 128
-    pv = ((100 + 127) // 128) * 128
-    pv = max(cfg.data.padded_vocab, pv)
+    # matches model.setup(): padded_vocab = max(cfg pad, round_up(V, 128))
+    pv = max(cfg.data.padded_vocab, ((100 + 127) // 128) * 128)
 
     def xla_step(st, t):
         return model.apply({"params": params}, st, t, K, True,

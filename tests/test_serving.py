@@ -180,6 +180,67 @@ def test_serve_pipelined_overlaps_load_and_decode(tiny_cfg, tiny_dataset,
     assert dt < 0.85, f"no load/decode overlap: {dt:.2f}s"
 
 
+def _run_bounded(fn, timeout=15):
+    """Run fn on a thread; fail the test (instead of hanging the suite) if it
+    deadlocks. Returns the exception it raised, or None."""
+    import threading
+    box = {}
+
+    def target():
+        try:
+            fn()
+        except BaseException as e:
+            box["exc"] = e
+
+    th = threading.Thread(target=target, daemon=True)
+    th.start()
+    th.join(timeout)
+    assert not th.is_alive(), "server.run() deadlocked"
+    return box.get("exc")
+
+
+def test_serve_worker_error_raises_not_deadlocks(tmp_path, tiny_cfg,
+                                                tiny_dataset, monkeypatch):
+    """review r3: a decode error in the pipelined worker must surface from
+    run() — before the fix the worker died with the bounded queue full and
+    the main thread blocked forever on put()."""
+    import io
+
+    cap = Captioner.from_checkpoint(tiny_cfg, tiny_dataset, checkpoint_dir=None)
+    server = CaptionServer(tiny_cfg, cap, batch_size=2, pipeline_depth=1)
+    T, D = tiny_cfg.data.num_frames, tiny_cfg.data.feature_dim
+    monkeypatch.setattr(server, "_load_features",
+                        lambda path: np.zeros((T, D), np.float32))
+
+    def boom(*a, **k):
+        raise RuntimeError("decode boom")
+    monkeypatch.setattr(cap, "decode_batch", boom)
+
+    lines = "\n".join(f"p{i}.npy" for i in range(8)) + "\n"   # 4 batches
+    exc = _run_bounded(lambda: server.run(inp=io.StringIO(lines),
+                                          out=io.StringIO(), warmup=False))
+    assert isinstance(exc, RuntimeError) and "decode boom" in str(exc)
+
+
+def test_serve_reader_error_raises_not_deadlocks(tiny_cfg, tiny_dataset):
+    """review r3: an input-stream exception must surface from run() — before
+    the fix the reader thread died without enqueueing EOF and the main loop
+    blocked forever on the queue."""
+    import io
+
+    cap = Captioner.from_checkpoint(tiny_cfg, tiny_dataset, checkpoint_dir=None)
+    server = CaptionServer(tiny_cfg, cap, batch_size=4)
+
+    class BadInput:
+        def __iter__(self):
+            yield "missing0.npy\n"      # skipped (load fails)
+            raise OSError("stream broke")
+
+    exc = _run_bounded(lambda: server.run(inp=BadInput(), out=io.StringIO(),
+                                          warmup=False))
+    assert isinstance(exc, OSError) and "stream broke" in str(exc)
+
+
 def test_serve_with_mesh_captioner(tmp_path, tiny_cfg, tiny_dataset):
     """CaptionServer over a mesh-routed Captioner (the serve --sharded path):
     batched + partial + masked inputs decode over 8 virtual devices."""

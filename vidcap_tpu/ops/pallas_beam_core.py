@@ -141,7 +141,19 @@ def make_fused_beam_step(model, params, beam_width: int,
     """Drop-in replacement for ``model.step_beam`` built on the fused kernel:
     ``step(state, tok) -> (state', logits)``. XLA keeps the embedding gather
     and the vocab projection + padding mask; the kernel fuses everything in
-    between. 1-layer attention decoders only (the reference config)."""
+    between. 1-layer attention decoders only (the reference config) —
+    enforced loudly: a multi-layer decoder would otherwise run with layer-0
+    weights only and silently produce wrong beams (review r3).
+
+    ``params`` may be concrete arrays OR jit tracers — pass it inside a jitted
+    function to thread the weights as traced arguments (the A/B harness does
+    this so both arms compile under the same regime)."""
+    mcfg = model.cfg.model
+    if mcfg.num_lstm_layers != 1 or not mcfg.use_attention:
+        raise ValueError(
+            "make_fused_beam_step supports only the 1-layer attention "
+            f"decoder (got num_lstm_layers={mcfg.num_lstm_layers}, "
+            f"use_attention={mcfg.use_attention})")
     dec = params["decoder"]
     emb_table = dec["embed"]["embedding"]
     wq = dec["attention"]["query"]["kernel"]

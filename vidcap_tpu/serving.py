@@ -122,10 +122,17 @@ class CaptionServer:
         print(f"[vidcap] served {served} captions{lat}", file=sys.stderr)
 
     # one reader thread feeds the queue so the batcher can wait WITH a deadline
-    def _reader(self, inp: IO, q: "queue.Queue") -> None:
-        for line in inp:
-            q.put(line)
-        q.put(_EOF)
+    def _reader(self, inp: IO, q: "queue.Queue",
+                err: List[BaseException]) -> None:
+        try:
+            for line in inp:
+                q.put(line)
+        except BaseException as e:
+            # record and STILL signal EOF — a dead reader that never enqueues
+            # _EOF would hang run() forever at q.get() (review r3)
+            err.append(e)
+        finally:
+            q.put(_EOF)
 
     def warmup(self) -> None:
         """Compile the decode program before consuming input, so the first
@@ -151,7 +158,9 @@ class CaptionServer:
                     if self.max_wait_ms is not None else None)
 
         q: "queue.Queue" = queue.Queue()
-        t = threading.Thread(target=self._reader, args=(inp, q), daemon=True)
+        read_err: List[BaseException] = []
+        t = threading.Thread(target=self._reader, args=(inp, q, read_err),
+                             daemon=True)
         t.start()
 
         # decode worker: batch N+1's input loading overlaps batch N's decode;
@@ -167,11 +176,14 @@ class CaptionServer:
                     item = decode_q.get()
                     if item is _EOF:
                         return
+                    if worker_err:
+                        continue    # after a failure keep DRAINING (discard) —
+                        # exiting would leave the bounded queue full and the
+                        # main thread blocked forever on put() (review r3)
                     try:
                         self._flush(*item, out)
                     except BaseException as e:   # surface in the main thread
                         worker_err.append(e)
-                        return
 
             worker = threading.Thread(target=drain, daemon=True)
             worker.start()
@@ -221,5 +233,7 @@ class CaptionServer:
             worker.join()
             if worker_err:
                 raise worker_err[0]
+        if read_err:
+            raise read_err[0]
         self._report(served)
         return served
