@@ -6,6 +6,13 @@ Run on the real TPU:  PYTHONPATH=/root/.axon_site:/root/repo python scripts/benc
 """
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+
 import json
 import time
 

@@ -1,6 +1,13 @@
 """Beam-variant benchmark on the real TPU. Usage:
 PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_beam.py [shared|fused|tiled] [B]
 """
+import os as _os
+import sys as _sys
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+
 import sys
 import time
 

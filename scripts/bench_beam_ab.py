@@ -1,4 +1,11 @@
 """A/B the beam headline with topk_impl variants (same method as bench.py)."""
+import os as _os
+import sys as _sys
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+
 import sys, time
 import jax, jax.numpy as jnp, numpy as np
 

@@ -11,6 +11,13 @@ keeps the scan/gather scaffolding identical and knocks out ONE stage:
 
 Results are WRONG captions for everything but `full` — this measures time only.
 """
+import os as _os
+import sys as _sys
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+
 import sys
 import time
 

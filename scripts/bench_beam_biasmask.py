@@ -1,6 +1,13 @@
 """A/B: per-step vocab-padding `where` over the [B·K, V] logits vs folding the
 mask into out_proj.bias ONCE before decode (bit-identical, see
 decoder._lstm_logits). Full-decode in-jit, B=208 headline config."""
+import os as _os
+import sys as _sys
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+
 import sys
 import time
 

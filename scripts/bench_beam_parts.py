@@ -1,6 +1,13 @@
 """Component-level beam-step timing (dispatch-cancelled): which part of the
 688µs/step at B=128·K=5 dominates? Each component is wrapped in a lax.scan of
 `reps` iterations inside one jit, timed at two rep counts to cancel dispatch."""
+import os as _os
+import sys as _sys
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+
 import time
 
 import jax

@@ -1,6 +1,13 @@
 """Component-level beam-step timing at the B=192 bf16-logits operating point.
 Long in-jit scans (500 reps) so dispatch overhead is negligible.
 PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_beam_parts2.py [B]"""
+import os as _os
+import sys as _sys
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+
 import sys
 import time
 

@@ -1,5 +1,12 @@
 """Pallas-vs-XLA rollout benchmark on the real TPU (perf evidence for the fused
 decode kernel; not part of the headline bench.py)."""
+import os as _os
+import sys as _sys
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+
 import sys
 import time
 

@@ -1,5 +1,12 @@
 """Focused SCST train-step throughput (same config as bench_all.bench_train).
 PYTHONPATH=... python scripts/bench_scst.py [B] [iters] [fused|legacy]"""
+import os as _os
+import sys as _sys
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+
 import dataclasses
 import sys
 import time

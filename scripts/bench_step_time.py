@@ -2,6 +2,13 @@
 remote-dispatch constant cancelled: time(max_len=330) − time(max_len=30) over
 300 steps. (lax.map over pallas_call trips an XLA fusion CHECK, so batching
 rollouts inside one jit is not available for the kernel path.)"""
+import os as _os
+import sys as _sys
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+
 import sys
 import time
 

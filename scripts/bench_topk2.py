@@ -1,5 +1,12 @@
 """top-k variant timing, long in-jit scans (dispatch overhead amortized away).
 PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_topk2.py"""
+import os as _os
+import sys as _sys
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+
 import time
 
 import jax

@@ -1,5 +1,12 @@
 """top-k variant timing for the beam step: lax.top_k vs approx_max_k vs
 two-stage vs iterative extract, on [640, 16000] f32 (dispatch-cancelled)."""
+import os as _os
+import sys as _sys
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+
 import time
 import jax
 import jax.numpy as jnp
