@@ -76,6 +76,35 @@ def test_cli_train_sharded_matches_single_device(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_train_sharded_resume_parity(tmp_path):
+    """Sharded training + interrupt + resume: a run checkpointed at step 3 and
+    resumed to step 6 must land where the uninterrupted 6-step sharded run
+    lands (deterministic batcher state + sharded checkpoint round-trip)."""
+    def run(sub, steps, resume=False):
+        d = tmp_path / sub
+        d.mkdir(exist_ok=True)
+        cmd = [sys.executable, "-m", "vidcap_tpu", "train",
+               "--preset", "synthetic_tiny", "--steps", str(steps),
+               "--batch-size", "8", "--sharded", "--log-file", "log.jsonl"]
+        if resume:
+            cmd.append("--resume")
+        r = subprocess.run(cmd, cwd=d, env=_env(), capture_output=True,
+                           text=True, timeout=900)
+        assert r.returncode == 0, r.stderr[-1500:]
+        return [json.loads(l) for l in open(d / "log.jsonl")]
+
+    rows_full = run("full", 6)
+    run("interrupted", 3)
+    rows_res = run("interrupted", 6, resume=True)
+
+    last_full = [r for r in rows_full if r["step"] == 6 and "loss" in r][-1]
+    last_res = [r for r in rows_res if r["step"] == 6 and "loss" in r][-1]
+    # same seed, same deterministic batch stream, restored opt/rng state —
+    # losses must agree to float tolerance
+    np.testing.assert_allclose(last_res["loss"], last_full["loss"], rtol=1e-4)
+
+
+@pytest.mark.slow
 def test_cli_serve_sharded(tmp_path):
     """`serve --sharded` on 8 virtual CPU devices: mesh decode end-to-end
     through the real CLI."""
