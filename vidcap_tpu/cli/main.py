@@ -174,7 +174,8 @@ def cmd_serve(args) -> int:
     server = CaptionServer(cfg, cap, batch_size=args.batch,
                            method=args.method or cfg.decode.method,
                            beam_width=args.beam or cfg.decode.beam_width,
-                           max_wait_ms=args.max_wait_ms)
+                           max_wait_ms=args.max_wait_ms,
+                           pipeline_depth=args.pipeline_depth)
     server.run()
     return 0
 
@@ -265,6 +266,9 @@ def main(argv=None) -> int:
     sv.add_argument("--max-wait-ms", type=float, default=None,
                     help="flush a partial batch once its oldest request has "
                          "waited this long (default: wait for a full batch)")
+    sv.add_argument("--pipeline-depth", type=int, default=1,
+                    help="decode-worker queue depth overlapping input loading "
+                         "with decoding (0 = serial)")
     sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
