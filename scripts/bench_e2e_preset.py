@@ -39,7 +39,7 @@ def hbm_estimate_bytes(B, T, S):
     return params + acts + inputs
 
 
-def main(B=8, T=26, iters=10):
+def main(B=8, T=26, iters=10, remat_every=1):
     from vidcap_tpu.utils.compilation_cache import enable_compilation_cache
     enable_compilation_cache()
     from vidcap_tpu.config import get_preset
@@ -53,6 +53,8 @@ def main(B=8, T=26, iters=10):
     cfg = dataclasses.replace(
         cfg,
         data=dataclasses.replace(cfg.data, dataset="synthetic", num_frames=T),
+        model=dataclasses.replace(cfg.model,
+                                  backbone_remat_every=remat_every),
         train=dataclasses.replace(cfg.train, batch_size=B,
                                   donate_state=True))
     S = cfg.data.frame_size
@@ -85,14 +87,19 @@ def main(B=8, T=26, iters=10):
     jax.block_until_ready(m["loss"])
     print(f"[e2e] compiled; first loss {float(m['loss']):.3f}", flush=True)
 
-    batches = [pixel_batch() for _ in range(iters)]
+    # stage only a few batches (one pixel batch is ~834MB at preset shapes —
+    # staging `iters` of them OOMs the chip before the step does) and cycle;
+    # the train state changes every step so dispatches are never identical
+    n_staged = min(4, iters)
+    batches = [pixel_batch() for _ in range(n_staged)]
     jax.block_until_ready(batches)
     t0 = time.perf_counter()
-    for b in batches:
-        state, m = step(state, b)
+    for i in range(iters):
+        state, m = step(state, batches[i % n_staged])
     jax.block_until_ready(m["loss"])
     dt = time.perf_counter() - t0
     out = {"metric": "e2e_train_steps_per_sec_preset", "B": B, "T": T,
+           "remat_every": remat_every,
            "steps_per_sec": round(iters / dt, 3),
            "ms_per_step": round(dt / iters * 1e3, 1),
            "ms_per_frame_fwd_bwd": round(dt / iters * 1e3 / (B * T), 2),
@@ -104,4 +111,5 @@ def main(B=8, T=26, iters=10):
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 8,
          int(sys.argv[2]) if len(sys.argv) > 2 else 26,
-         int(sys.argv[3]) if len(sys.argv) > 3 else 10)
+         int(sys.argv[3]) if len(sys.argv) > 3 else 10,
+         int(sys.argv[4]) if len(sys.argv) > 4 else 1)

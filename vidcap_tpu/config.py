@@ -44,6 +44,8 @@ class ModelConfig:
     use_attention: bool = True            # temporal soft attention over frames
     use_backbone: bool = False            # end-to-end mode: IRv2 inside the train graph
     backbone: str = "inception_resnet_v2"
+    backbone_remat_every: int = 1         # checkpoint every Nth IRv2 block
+    #   (1 = all, N>1 trades HBM headroom for less bwd recompute, 0 = none)
     dropout_rate: float = 0.0
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"       # MXU-friendly; logits/losses stay f32

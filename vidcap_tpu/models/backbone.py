@@ -127,6 +127,9 @@ class InceptionResNetV2(nn.Module):
     compute_dtype: Any = jnp.bfloat16
     width_mult: float = 1.0          # tiny variants for tests (e.g. 0.125)
     depth: Tuple[int, int, int] = (10, 20, 10)
+    remat_every: int = 1             # checkpoint every Nth residual block:
+    #   1 = every block (lowest memory), 2 = every second (trade HBM headroom
+    #   for less recompute in the bwd pass), 0 = no remat (fastest, most HBM)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -159,10 +162,17 @@ class InceptionResNetV2(nn.Module):
         b3 = ConvBN(w(64), (1, 1), compute_dtype=cd, name="m5b_b3")(b3)
         x = jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
-        # ---- 10× block35, rematerialized
-        BlockA = nn.checkpoint(Block35)
+        # ---- 10× block35, rematerialized per remat_every (param trees are
+        # identical with or without nn.checkpoint, so the stride is a pure
+        # memory/speed knob — no converter/checkpoint impact)
+        def block_cls(cls, i):
+            if self.remat_every and i % self.remat_every == 0:
+                return nn.checkpoint(cls)
+            return cls
+
         for i in range(self.depth[0]):
-            x = BlockA(compute_dtype=cd, name=f"block35_{i}")(x)
+            x = block_cls(Block35, i)(compute_dtype=cd,
+                                      name=f"block35_{i}")(x)
 
         # reduction-A (35 → 17)
         r0 = ConvBN(w(384), (3, 3), (2, 2), "VALID", compute_dtype=cd,
@@ -175,9 +185,9 @@ class InceptionResNetV2(nn.Module):
         x = jnp.concatenate([r0, r1, r2], axis=-1)
 
         # ---- 20× block17
-        BlockB = nn.checkpoint(Block17)
         for i in range(self.depth[1]):
-            x = BlockB(compute_dtype=cd, name=f"block17_{i}")(x)
+            x = block_cls(Block17, i)(compute_dtype=cd,
+                                      name=f"block17_{i}")(x)
 
         # reduction-B (17 → 8)
         r0 = ConvBN(w(256), (1, 1), compute_dtype=cd, name="redB_b0a")(x)
@@ -194,9 +204,8 @@ class InceptionResNetV2(nn.Module):
         x = jnp.concatenate([r0, r1, r2, r3], axis=-1)
 
         # ---- 10× block8 (last one unscaled-ish, per the paper: no relu)
-        BlockC = nn.checkpoint(Block8)
         for i in range(self.depth[2] - 1):
-            x = BlockC(compute_dtype=cd, name=f"block8_{i}")(x)
+            x = block_cls(Block8, i)(compute_dtype=cd, name=f"block8_{i}")(x)
         x = Block8(scale=1.0, use_relu=False, compute_dtype=cd,
                    name=f"block8_{self.depth[2] - 1}")(x)
 

@@ -32,8 +32,10 @@ class VidCapModel(nn.Module):
                               else jnp.float32)
         if c.model.use_backbone:
             from vidcap_tpu.models.backbone import InceptionResNetV2
-            self.backbone = InceptionResNetV2(compute_dtype=self.compute_dtype,
-                                              name="backbone")
+            self.backbone = InceptionResNetV2(
+                compute_dtype=self.compute_dtype,
+                remat_every=c.model.backbone_remat_every,
+                name="backbone")
         self.decoder = CaptionDecoder(
             cfg=c.model,
             vocab_size=self.vocab_size,
