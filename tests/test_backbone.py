@@ -24,6 +24,32 @@ def test_backbone_output_shape():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_backbone_remat_stride_is_pure_memory_knob():
+    """remat_every changes ONLY where nn.checkpoint wraps blocks: the param
+    tree and the outputs (fwd AND grads) must be identical across strides."""
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 149, 149, 3)),
+                    jnp.float32)
+    ref_params = None
+    ref_out = None
+    ref_gnorm = None
+    for stride in (1, 2, 0):
+        bb = InceptionResNetV2(**TINY, remat_every=stride)
+        params = bb.init(jax.random.key(0), x)["params"]
+        out = bb.apply({"params": params}, x)
+        gnorm = jax.grad(
+            lambda p: bb.apply({"params": p}, x).sum())(params)
+        gn = float(jnp.sqrt(sum(jnp.sum(jnp.square(g).astype(jnp.float32))
+                                for g in jax.tree_util.tree_leaves(gnorm))))
+        if ref_params is None:
+            ref_params, ref_out, ref_gnorm = params, out, gn
+            continue
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(ref_params))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                   atol=1e-5)
+        np.testing.assert_allclose(gn, ref_gnorm, rtol=1e-4)
+
+
 def test_backbone_works_on_smaller_inputs():
     # 149x149 input still produces a valid pooled vector (global pool at the end)
     bb = InceptionResNetV2(**TINY)
