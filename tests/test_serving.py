@@ -241,6 +241,67 @@ def test_serve_reader_error_raises_not_deadlocks(tiny_cfg, tiny_dataset):
     assert isinstance(exc, OSError) and "stream broke" in str(exc)
 
 
+def test_http_server_caption_and_stats(tiny_cfg, tiny_dataset):
+    """HTTP front-end over the batching core: concurrent POST /caption
+    requests coalesce into micro-batches, bad inputs get a 400, /healthz
+    reports p50/p99."""
+    import http.client
+    import io as _io
+    import json
+    import threading
+
+    from vidcap_tpu.serving import make_http_server
+
+    cap = Captioner.from_checkpoint(tiny_cfg, tiny_dataset, checkpoint_dir=None)
+    server, svc = make_http_server(tiny_cfg, cap, port=0, batch_size=4,
+                                   method="greedy", max_wait_ms=30.0)
+    port = server.server_address[1]
+    st = threading.Thread(target=server.serve_forever, daemon=True)
+    st.start()
+    T, D = tiny_cfg.data.num_frames, tiny_cfg.data.feature_dim
+    rng = np.random.default_rng(0)
+
+    def post_npy(arr):
+        buf = _io.BytesIO()
+        np.save(buf, arr)
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", "/caption", body=buf.getvalue(),
+                     headers={"Content-Type": "application/octet-stream"})
+        r = conn.getresponse()
+        out = (r.status, json.loads(r.read()))
+        conn.close()
+        return out
+
+    # 6 concurrent requests through batch_size=4 → two micro-batches
+    results = [None] * 6
+
+    def worker(i):
+        results[i] = post_npy(rng.normal(size=(T, D)).astype(np.float32))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert all(r is not None and r[0] == 200 for r in results), results
+    assert all(isinstance(r[1]["caption"], str) for r in results)
+
+    # wrong feature dim → 400, not a crash
+    status, body = post_npy(np.zeros((T, D + 3), np.float32))
+    assert status == 400 and "error" in body
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+    conn.request("GET", "/healthz")
+    r = conn.getresponse()
+    stats = json.loads(r.read())
+    conn.close()
+    assert stats["served"] == 6
+    assert stats["p99_ms"] >= stats["p50_ms"] > 0
+
+    server.shutdown()
+    svc.close()
+
+
 def test_serve_with_mesh_captioner(tmp_path, tiny_cfg, tiny_dataset):
     """CaptionServer over a mesh-routed Captioner (the serve --sharded path):
     batched + partial + masked inputs decode over 8 virtual devices."""

@@ -171,9 +171,26 @@ def cmd_serve(args) -> int:
     cap = Captioner.from_checkpoint(
         cfg, dataset, args.checkpoint_dir or cfg.train.checkpoint_dir,
         seed=args.seed, mesh=_serving_mesh(cfg, args.sharded))
+    method = args.method or cfg.decode.method
+    beam = args.beam or cfg.decode.beam_width
+    if args.http is not None:
+        from vidcap_tpu.serving import make_http_server
+        server, svc = make_http_server(
+            cfg, cap, port=args.http, batch_size=args.batch, method=method,
+            beam_width=beam, max_wait_ms=args.max_wait_ms or 20.0)
+        host, port = server.server_address[:2]
+        print(f"[vidcap] serving HTTP on {host}:{port} "
+              f"(POST /caption, GET /healthz)", file=sys.stderr)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            svc.close()
+            print(f"[vidcap] {svc.stats()}", file=sys.stderr)
+        return 0
     server = CaptionServer(cfg, cap, batch_size=args.batch,
-                           method=args.method or cfg.decode.method,
-                           beam_width=args.beam or cfg.decode.beam_width,
+                           method=method, beam_width=beam,
                            max_wait_ms=args.max_wait_ms,
                            pipeline_depth=args.pipeline_depth)
     server.run()
@@ -269,6 +286,9 @@ def main(argv=None) -> int:
     sv.add_argument("--pipeline-depth", type=int, default=1,
                     help="decode-worker queue depth overlapping input loading "
                          "with decoding (0 = serial)")
+    sv.add_argument("--http", type=int, default=None, metavar="PORT",
+                    help="serve over HTTP instead of stdin: POST /caption "
+                         "(.npy bytes or {\"path\": ...}), GET /healthz|/stats")
     sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)

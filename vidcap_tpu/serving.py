@@ -19,6 +19,11 @@ Latency hardening (VERDICT r2 #7):
     input loading (cv2 video decode + backbone for video paths — the
     expensive case) overlaps batch N's decode; output order is preserved
     (single worker drains a bounded queue).
+
+``serve --http PORT`` exposes the same batching core over HTTP
+(stdlib ThreadingHTTPServer — no external deps): POST /caption with raw
+``.npy`` bytes (or JSON ``{"path": ...}``) blocks until its micro-batch
+decodes; GET /healthz and /stats report served count and p50/p99.
 """
 from __future__ import annotations
 
@@ -237,3 +242,174 @@ class CaptionServer:
             raise read_err[0]
         self._report(served)
         return served
+
+
+# --------------------------------------------------------------- HTTP serving
+
+class BatchingCaptioner:
+    """Thread-safe micro-batching frontend over ``Captioner.decode_batch``:
+    concurrent ``submit(feats)`` calls coalesce into batches of up to
+    ``batch_size`` (or whatever arrived within ``max_wait_ms`` of the oldest
+    request), decode on ONE batcher thread, and each caller blocks until its
+    caption is ready. The TPU only ever sees full fixed-shape batches."""
+
+    def __init__(self, cfg: Config, captioner, batch_size: int = 32,
+                 method: str = "greedy", beam_width: int = 5,
+                 max_wait_ms: float = 20.0):
+        self.cfg = cfg
+        self.captioner = captioner
+        self.batch_size = batch_size
+        self.method = method
+        self.beam_width = beam_width
+        self.max_wait = max_wait_ms / 1e3
+        self._q: "queue.Queue" = queue.Queue()
+        self._latencies_ms: List[float] = []
+        self._served = 0
+        self._lock = threading.Lock()
+        self._thread = threading.Thread(target=self._batcher, daemon=True)
+        self._thread.start()
+
+    def warmup(self) -> None:
+        T, D = self.cfg.data.num_frames, self.cfg.data.feature_dim
+        self.captioner.decode_batch(
+            np.zeros((self.batch_size, T, D), np.float32),
+            method=self.method, beam_width=self.beam_width,
+            frame_mask=np.ones((self.batch_size, T), np.float32))
+
+    def submit(self, feats: np.ndarray, timeout: Optional[float] = None
+               ) -> str:
+        """feats: f32[T', D] (T' ≤ configured frames). Blocks until decoded."""
+        D = self.cfg.data.feature_dim
+        if feats.ndim != 2 or feats.shape[1] != D:
+            raise ValueError(f"expected [T, {D}] features, got {feats.shape}")
+        item = {"event": threading.Event(), "feats": feats,
+                "t": time.perf_counter(), "caption": None, "error": None}
+        self._q.put(item)
+        if not item["event"].wait(timeout):
+            raise TimeoutError("decode timed out")
+        if item["error"] is not None:
+            raise item["error"]
+        return item["caption"]
+
+    def _batcher(self) -> None:
+        T, D = self.cfg.data.num_frames, self.cfg.data.feature_dim
+        vocab = self.captioner.dataset.vocab
+        while True:
+            first = self._q.get()
+            if first is _EOF:
+                return
+            items = [first]
+            deadline = first["t"] + self.max_wait
+            while len(items) < self.batch_size:
+                left = deadline - time.perf_counter()
+                if left <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=left)
+                except queue.Empty:
+                    break
+                if nxt is _EOF:
+                    self._q.put(_EOF)   # re-post for the outer loop
+                    break
+                items.append(nxt)
+
+            batch = np.zeros((self.batch_size, T, D), np.float32)
+            mask = np.zeros((self.batch_size, T), np.float32)
+            for i, it in enumerate(items):
+                t = min(it["feats"].shape[0], T)
+                batch[i, :t] = it["feats"][:t]
+                mask[i, :t] = 1.0
+            try:
+                toks = self.captioner.decode_batch(
+                    batch, method=self.method, beam_width=self.beam_width,
+                    frame_mask=mask)
+                done = time.perf_counter()
+                with self._lock:
+                    for i, it in enumerate(items):
+                        it["caption"] = vocab.decode_str(toks[i])
+                        self._latencies_ms.append((done - it["t"]) * 1e3)
+                    self._served += len(items)
+            except BaseException as e:   # deliver the failure to every caller
+                for it in items:
+                    it["error"] = e
+            finally:
+                for it in items:
+                    it["event"].set()
+
+    def stats(self):
+        with self._lock:
+            lat = np.asarray(self._latencies_ms)
+            return {
+                "served": self._served,
+                "p50_ms": round(float(np.percentile(lat, 50)), 1) if lat.size
+                else None,
+                "p99_ms": round(float(np.percentile(lat, 99)), 1) if lat.size
+                else None,
+            }
+
+    def close(self) -> None:
+        self._q.put(_EOF)
+        self._thread.join(timeout=5)
+
+
+def make_http_server(cfg: Config, captioner, port: int = 0,
+                     batch_size: int = 32, method: str = "greedy",
+                     beam_width: int = 5, max_wait_ms: float = 20.0):
+    """HTTP captioning endpoint on the stdlib ThreadingHTTPServer (zero extra
+    deps). Returns (server, service); call ``server.serve_forever()`` (the CLI
+    does) and ``server.server_address[1]`` for the bound port (port=0 → OS
+    pick, used by tests).
+
+      POST /caption   body = raw .npy bytes (np.save) of f32[T, D] features,
+                      or JSON {"path": "/abs/file.npy"} → {"caption": "..."}
+      GET  /healthz | /stats → {"served": n, "p50_ms": ..., "p99_ms": ...}
+    """
+    import io as _io
+    import json as _json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    svc = BatchingCaptioner(cfg, captioner, batch_size=batch_size,
+                            method=method, beam_width=beam_width,
+                            max_wait_ms=max_wait_ms)
+    svc.warmup()
+
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code: int, obj) -> None:
+            body = _json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path in ("/healthz", "/stats"):
+                self._json(200, svc.stats())
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/caption":
+                self._json(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                if "json" in (self.headers.get("Content-Type") or ""):
+                    feats = np.load(_json.loads(body)["path"])
+                else:
+                    feats = np.load(_io.BytesIO(body))
+                caption = svc.submit(np.asarray(feats, np.float32),
+                                     timeout=120.0)
+                self._json(200, {"caption": caption})
+            except (ValueError, KeyError, OSError) as e:
+                self._json(400, {"error": str(e)})
+            except TimeoutError as e:
+                self._json(503, {"error": str(e)})
+
+        def log_message(self, fmt, *args):   # quiet: stderr stays for stats
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    server.vidcap_service = svc          # tests/CLI reach the service here
+    return server, svc
