@@ -13,7 +13,7 @@ from vidcap_tpu.ops.pallas_beam_core import make_fused_beam_step
 
 
 @pytest.fixture(scope="module")
-def setup(request):
+def setup():
     from vidcap_tpu.config import get_preset
     cfg = get_preset("synthetic_tiny")
     # a padded-vocab-sized model, bf16 compute like the headline config

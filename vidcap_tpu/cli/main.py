@@ -177,7 +177,9 @@ def cmd_serve(args) -> int:
         from vidcap_tpu.serving import make_http_server
         server, svc = make_http_server(
             cfg, cap, port=args.http, batch_size=args.batch, method=method,
-            beam_width=beam, max_wait_ms=args.max_wait_ms or 20.0)
+            beam_width=beam,
+            max_wait_ms=(args.max_wait_ms if args.max_wait_ms is not None
+                         else 20.0))
         host, port = server.server_address[:2]
         print(f"[vidcap] serving HTTP on {host}:{port} "
               f"(POST /caption, GET /healthz)", file=sys.stderr)

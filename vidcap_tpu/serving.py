@@ -27,6 +27,7 @@ decodes; GET /healthz and /stats report served count and p50/p99.
 """
 from __future__ import annotations
 
+import collections
 import os
 import queue
 import sys
@@ -42,6 +43,36 @@ _VIDEO_EXTS = (".mp4", ".avi", ".mkv", ".webm", ".mov")
 
 _EOF = object()
 
+# long-lived servers: cap the latency history (percentiles over the most
+# recent window) instead of growing without bound
+_LATENCY_WINDOW = 65_536
+
+
+def _pad_batch(cfg: Config, feats: List[np.ndarray], batch_size: int):
+    """Zero-pad a list of [T', D] feature arrays into one fixed-shape
+    (batch [B, T, D], frame_mask [B, T]) pair — the mask marks real frames so
+    attention + the pooled decoder init ignore padding (short inputs AND
+    all-zero filler rows)."""
+    T, D = cfg.data.num_frames, cfg.data.feature_dim
+    batch = np.zeros((batch_size, T, D), np.float32)
+    mask = np.zeros((batch_size, T), np.float32)
+    for i, f in enumerate(feats):
+        t = min(f.shape[0], T)
+        batch[i, :t] = f[:t]
+        mask[i, :t] = 1.0
+    return batch, mask
+
+
+def _warmup_decode(cfg: Config, captioner, batch_size: int, method: str,
+                   beam_width: int) -> None:
+    """Compile the flush-shaped decode before serving, so the first request's
+    latency is a dispatch, not the one-time jit (measured r3: 15 s warm-cache
+    / up to ~6 min cold over the remote-compile tunnel)."""
+    T, D = cfg.data.num_frames, cfg.data.feature_dim
+    captioner.decode_batch(np.zeros((batch_size, T, D), np.float32),
+                           method=method, beam_width=beam_width,
+                           frame_mask=np.ones((batch_size, T), np.float32))
+
 
 class CaptionServer:
     def __init__(self, cfg: Config, captioner, batch_size: int = 32,
@@ -56,7 +87,7 @@ class CaptionServer:
         self.max_wait_ms = max_wait_ms
         self.pipeline_depth = pipeline_depth
         self._backbone = None
-        self._latencies_ms: List[float] = []
+        self._latencies_ms = collections.deque(maxlen=_LATENCY_WINDOW)
 
     # ------------------------------------------------------------ input loading
 
@@ -93,15 +124,7 @@ class CaptionServer:
         if not paths:
             return
         n = len(paths)
-        T, D = self.cfg.data.num_frames, self.cfg.data.feature_dim
-        batch = np.zeros((self.batch_size, T, D), np.float32)
-        # frame_mask marks the t real frames so attention + the pooled decoder
-        # init ignore zero-padding (short inputs AND all-zero filler rows)
-        mask = np.zeros((self.batch_size, T), np.float32)
-        for i, f in enumerate(feats):
-            t = min(f.shape[0], T)
-            batch[i, :t] = f[:t]
-            mask[i, :t] = 1.0
+        batch, mask = _pad_batch(self.cfg, feats, self.batch_size)
         toks = self.captioner.decode_batch(
             batch, method=self.method, beam_width=self.beam_width,
             frame_mask=mask)
@@ -140,14 +163,8 @@ class CaptionServer:
             q.put(_EOF)
 
     def warmup(self) -> None:
-        """Compile the decode program before consuming input, so the first
-        request's latency is a dispatch, not the one-time jit (measured r3:
-        15 s warm-cache / up to ~6 min cold over the remote-compile tunnel)."""
-        T, D = self.cfg.data.num_frames, self.cfg.data.feature_dim
-        self.captioner.decode_batch(
-            np.zeros((self.batch_size, T, D), np.float32),
-            method=self.method, beam_width=self.beam_width,
-            frame_mask=np.ones((self.batch_size, T), np.float32))
+        _warmup_decode(self.cfg, self.captioner, self.batch_size,
+                       self.method, self.beam_width)
 
     def run(self, inp: Optional[IO] = None, out: Optional[IO] = None,
             warmup: bool = True) -> int:
@@ -204,8 +221,7 @@ class CaptionServer:
             served += len(paths)
             paths, feats, arrivals = [], [], []
 
-        eof = False
-        while not eof:
+        while True:
             if max_wait is not None and arrivals:
                 # flush when the OLDEST queued request hits the deadline
                 timeout = max(0.0, arrivals[0] + max_wait - time.perf_counter())
@@ -217,7 +233,6 @@ class CaptionServer:
                 flush()                 # deadline hit with a partial batch
                 continue
             if line is _EOF:
-                eof = True
                 break
             path = line.strip()
             if not path:
@@ -263,18 +278,15 @@ class BatchingCaptioner:
         self.beam_width = beam_width
         self.max_wait = max_wait_ms / 1e3
         self._q: "queue.Queue" = queue.Queue()
-        self._latencies_ms: List[float] = []
+        self._latencies_ms = collections.deque(maxlen=_LATENCY_WINDOW)
         self._served = 0
         self._lock = threading.Lock()
         self._thread = threading.Thread(target=self._batcher, daemon=True)
         self._thread.start()
 
     def warmup(self) -> None:
-        T, D = self.cfg.data.num_frames, self.cfg.data.feature_dim
-        self.captioner.decode_batch(
-            np.zeros((self.batch_size, T, D), np.float32),
-            method=self.method, beam_width=self.beam_width,
-            frame_mask=np.ones((self.batch_size, T), np.float32))
+        _warmup_decode(self.cfg, self.captioner, self.batch_size,
+                       self.method, self.beam_width)
 
     def submit(self, feats: np.ndarray, timeout: Optional[float] = None
                ) -> str:
@@ -292,7 +304,6 @@ class BatchingCaptioner:
         return item["caption"]
 
     def _batcher(self) -> None:
-        T, D = self.cfg.data.num_frames, self.cfg.data.feature_dim
         vocab = self.captioner.dataset.vocab
         while True:
             first = self._q.get()
@@ -313,12 +324,8 @@ class BatchingCaptioner:
                     break
                 items.append(nxt)
 
-            batch = np.zeros((self.batch_size, T, D), np.float32)
-            mask = np.zeros((self.batch_size, T), np.float32)
-            for i, it in enumerate(items):
-                t = min(it["feats"].shape[0], T)
-                batch[i, :t] = it["feats"][:t]
-                mask[i, :t] = 1.0
+            batch, mask = _pad_batch(self.cfg, [it["feats"] for it in items],
+                                     self.batch_size)
             try:
                 toks = self.captioner.decode_batch(
                     batch, method=self.method, beam_width=self.beam_width,

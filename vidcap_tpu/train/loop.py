@@ -92,7 +92,8 @@ def train(
                 f"batch_size {cfg.train.batch_size} must divide evenly over "
                 f"the {num_data}-way '{cfg.mesh.data_axis}' mesh axis")
         state = place_state(state, mesh)
-        shard_batch_fn = lambda b: shard_batch(b, mesh)  # noqa: E731
+        import functools
+        shard_batch_fn = functools.partial(shard_batch, mesh=mesh)
 
     from vidcap_tpu.data.pipeline import DeterministicBatcher
 
