@@ -24,14 +24,19 @@ from vidcap_tpu.config import Config, get_preset
 
 def _load_dataset(cfg: Config, split: str = "train"):
     from vidcap_tpu.data.loader import CaptionDataset
+    # e2e presets (use_backbone) train on raw frames, so the synthetic
+    # fixture must produce pixels [N, T, S, S, 3], not feature vectors
+    pixels = cfg.model.use_backbone
     if cfg.data.dataset == "synthetic":
-        return CaptionDataset.synthetic(cfg.data)
+        return CaptionDataset.synthetic(cfg.data, pixels=pixels)
     try:
+        if pixels:
+            return CaptionDataset.from_frame_files(cfg.data, split=split)
         return CaptionDataset.from_files(cfg.data, split=split)
     except FileNotFoundError as e:
         print(f"[vidcap] dataset assets not found ({e}); "
               f"falling back to the synthetic fixture", file=sys.stderr)
-        return CaptionDataset.synthetic(cfg.data)
+        return CaptionDataset.synthetic(cfg.data, pixels=pixels)
 
 
 def cmd_train(args) -> int:
@@ -45,6 +50,18 @@ def cmd_train(args) -> int:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train,
                                            batch_size=args.batch_size))
+    if args.eval_every is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           eval_every=args.eval_every))
+    if args.log_every is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           log_every=args.log_every))
+    if args.checkpoint_dir:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           checkpoint_dir=args.checkpoint_dir))
     # --sharded: multi-chip training over all visible chips (SURVEY.md §2.3
     # "DP core"): batch shards over the mesh's data axis, grads psum over ICI,
     # the optional model axis carries the vocab-TP seam
@@ -179,7 +196,8 @@ def cmd_serve(args) -> int:
             cfg, cap, port=args.http, batch_size=args.batch, method=method,
             beam_width=beam,
             max_wait_ms=(args.max_wait_ms if args.max_wait_ms is not None
-                         else 20.0))
+                         else 20.0),
+            max_queue=args.max_queue, path_root=args.path_root)
         host, port = server.server_address[:2]
         print(f"[vidcap] serving HTTP on {host}:{port} "
               f"(POST /caption, GET /healthz)", file=sys.stderr)
@@ -219,6 +237,10 @@ def main(argv=None) -> int:
                    help="comma list overriding the preset stage, e.g. xe,scst")
     t.add_argument("--resume", action="store_true")
     t.add_argument("--log-file", default=None)
+    t.add_argument("--eval-every", type=int, default=None,
+                   help="override the preset's periodic-eval cadence "
+                        "(0 disables)")
+    t.add_argument("--log-every", type=int, default=None)
     t.add_argument("--sharded", action="store_true",
                    help="train over all visible chips (GSPMD: batch sharded "
                         "over the data axis, grads psum over ICI)")
@@ -291,6 +313,13 @@ def main(argv=None) -> int:
     sv.add_argument("--http", type=int, default=None, metavar="PORT",
                     help="serve over HTTP instead of stdin: POST /caption "
                          "(.npy bytes or {\"path\": ...}), GET /healthz|/stats")
+    sv.add_argument("--path-root", type=str, default=None,
+                    help="enable HTTP JSON path mode, confined to this "
+                         "directory (.npy features or video files); "
+                         "disabled when unset")
+    sv.add_argument("--max-queue", type=int, default=None,
+                    help="bound on queued HTTP requests before 429 "
+                         "(default 4×batch)")
     sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)

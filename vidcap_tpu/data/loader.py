@@ -85,13 +85,17 @@ class CaptionDataset:
     # ------------------------------------------------------------------ factories
 
     @classmethod
-    def synthetic(cls, cfg: DataConfig, num_videos: int = 64, seed: int = 0
-                  ) -> "CaptionDataset":
+    def synthetic(cls, cfg: DataConfig, num_videos: int = 64, seed: int = 0,
+                  pixels: bool = False) -> "CaptionDataset":
+        """pixels=True: e2e-mode fixture — ``features`` are raw frames
+        f32[N, T, S, S, 3] (S = cfg.frame_size) instead of feature vectors."""
         corpus = make_synthetic_corpus(
             num_videos=num_videos,
             num_frames=cfg.num_frames,
             feature_dim=cfg.feature_dim,
             seed=seed,
+            pixels=pixels,
+            frame_size=cfg.frame_size,
         )
         return cls(corpus["features"], corpus["video_ids"], corpus["captions"], cfg)
 
@@ -124,6 +128,29 @@ class CaptionDataset:
         vocab_path = os.path.join(d, f"{name}_vocab.json")
         vocab = Vocab.load(vocab_path) if os.path.exists(vocab_path) else None
         return cls(feats, video_ids, captions, cfg, vocab=vocab)
+
+    @classmethod
+    def from_frame_files(cls, cfg: DataConfig, split: str = "train"
+                         ) -> "CaptionDataset":
+        """e2e-mode loader: raw sampled frames instead of features
+        (SURVEY.md §3.5 — the end-to-end stage trains through pixels).
+
+        Expected layout (produced by ``vidcap_tpu.cli.prepare --frames``):
+          {data_dir}/{dataset}_{split}_frames.npy  u8/f32[N, T, S, S, 3]
+          plus the same ids/captions/vocab files as :meth:`from_files`.
+        uint8 frames are rescaled to the backbone's [-1, 1] input range."""
+        d, name = cfg.data_dir, cfg.dataset
+        frames = np.load(os.path.join(d, f"{name}_{split}_frames.npy"))
+        if frames.dtype == np.uint8:
+            frames = frames.astype(np.float32) / 127.5 - 1.0
+        with open(os.path.join(d, f"{name}_{split}_ids.json")) as f:
+            video_ids = json.load(f)
+        with open(os.path.join(d, f"{name}_captions.json")) as f:
+            all_captions = json.load(f)
+        captions = {v: all_captions.get(v, []) for v in video_ids}
+        vocab_path = os.path.join(d, f"{name}_vocab.json")
+        vocab = Vocab.load(vocab_path) if os.path.exists(vocab_path) else None
+        return cls(frames, video_ids, captions, cfg, vocab=vocab)
 
     # ------------------------------------------------------------------ iteration
 

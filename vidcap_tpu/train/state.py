@@ -66,7 +66,12 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
         return optax.adam(sched)
 
     chain = [optax.clip_by_global_norm(t.grad_clip_norm)]
-    if t.stage == "e2e" and t.backbone_lr_scale != 1.0:
+    # any stage that fine-tunes THROUGH the CNN gets the scaled backbone LR:
+    # the plain e2e stage, and the composed flagship (stage='scst' with
+    # use_backbone — SURVEY.md §3.5, preset e2e_scst_multitask)
+    through_cnn = t.stage == "e2e" or (t.stage == "scst"
+                                       and cfg.model.use_backbone)
+    if through_cnn and t.backbone_lr_scale != 1.0:
         # smaller LR through the CNN (SURVEY.md §3.5): scale the SCHEDULE, so
         # the backbone group keeps warmup shape + weight decay, just rescaled.
         scale = t.backbone_lr_scale
