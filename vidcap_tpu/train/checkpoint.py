@@ -62,8 +62,16 @@ class CheckpointManager:
         except (FileNotFoundError, json.JSONDecodeError):
             rec = {}
         rec[str(step)] = stage
-        with open(self._stage_path(), "w") as f:
+        # prune entries for steps orbax garbage-collected (max_to_keep) so the
+        # sidecar tracks the retained checkpoints, and write atomically: a
+        # crash mid-write must not corrupt the file and silently downgrade
+        # future resumes to the legacy heuristic (ADVICE r3 checkpoint.py:58)
+        kept = {str(s) for s in self._mgr.all_steps()} | {str(step)}
+        rec = {k: v for k, v in rec.items() if k in kept}
+        tmp = self._stage_path() + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(rec, f)
+        os.replace(tmp, self._stage_path())
 
     def saved_stage(self, step: Optional[int] = None) -> Optional[str]:
         """Stage recorded for ``step`` (default: latest), or None for

@@ -44,11 +44,15 @@ def _subset_dataset(dataset: CaptionDataset, max_videos: int
 
 def run_validation(cfg: Config, captioner, val_dataset: CaptionDataset
                    ) -> Dict[str, float]:
-    """Greedy-decode the val split and score it (SURVEY.md C17 'periodic val
-    eval'). Returns the metrics dict ({'CIDEr': ..., 'Bleu_4': ..., ...})."""
+    """Decode the val split with ``cfg.train.eval_method`` and score it
+    (SURVEY.md C17 'periodic val eval'). Default greedy: cheap, but note
+    best-checkpoint selection for a beam preset is then scored under a
+    different decode than deployment — set eval_method='beam' to match
+    (VERDICT r3 weak #6). Returns {'CIDEr': ..., 'Bleu_4': ..., ...}."""
     from vidcap_tpu.metrics.evaluate import evaluate_captions
     results = captioner.caption_dataset(
-        method="greedy", batch_size=cfg.train.batch_size)
+        method=cfg.train.eval_method, batch_size=cfg.train.batch_size,
+        beam_width=cfg.decode.beam_width)
     refs = {v: val_dataset.video_captions[v] for v in results
             if v in val_dataset.video_captions}
     return evaluate_captions(refs, {v: results[v] for v in refs})
