@@ -41,10 +41,15 @@ def make_scale_corpus(num_videos: int, num_frames: int = 26,
                       feature_dim: int = 1536, clusters: int = 500,
                       pool: int = 32, window: int = 8,
                       captions_per_video: int = 20, seed: int = 0,
-                      noise: float = 0.3):
+                      noise: float = 0.3, code_seed: int = 1234):
     rng = np.random.default_rng(seed)
-    # cluster codes: unit-norm random directions scaled up — linearly separable
-    codes = rng.normal(size=(clusters, feature_dim)).astype(np.float32)
+    # cluster codes: unit-norm random directions scaled up — linearly
+    # separable. Drawn from a DEDICATED generator (code_seed) so every split
+    # shares the same cluster→feature mapping; the per-split `seed` only
+    # varies video membership, noise, and caption windows. (r4 bug: per-split
+    # codes made the val split unlearnable — val CIDEr was pure noise.)
+    codes = np.random.default_rng(code_seed).normal(
+        size=(clusters, feature_dim)).astype(np.float32)
     codes *= 2.0 / np.linalg.norm(codes, axis=1, keepdims=True)
 
     cluster_of = rng.integers(0, clusters, size=num_videos)

@@ -43,9 +43,15 @@ def cmd_train(args) -> int:
     from vidcap_tpu.parallel.distributed import initialize_multihost
     initialize_multihost()
     cfg = get_preset(args.preset)
+    # --steps accepts one count for every stage or a comma list matched to
+    # --stages (e.g. --stages xe,scst --steps 2500,1000)
+    per_stage_steps = None
     if args.steps:
+        counts = [int(s) for s in str(args.steps).split(",")]
+        if len(counts) > 1:
+            per_stage_steps = counts
         cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train, num_steps=args.steps))
+            cfg, train=dataclasses.replace(cfg.train, num_steps=counts[0]))
     if args.batch_size:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train,
@@ -79,13 +85,19 @@ def cmd_train(args) -> int:
             pass   # periodic eval falls back to the train split
 
     stages = (args.stages.split(",") if args.stages else [cfg.train.stage])
+    if per_stage_steps is not None and len(per_stage_steps) != len(stages):
+        raise SystemExit(f"--steps lists {len(per_stage_steps)} counts for "
+                         f"{len(stages)} stages")
     # staged schedule (SURVEY.md §0.5): e.g. --stages xe,scst runs XE then
-    # SCST fine-tuning, resuming each stage from the previous checkpoint
+    # SCST fine-tuning, resuming each stage from the previous checkpoint.
+    # num_steps is cumulative (the loop trains from the restored step).
+    total = 0
     for i, stage in enumerate(stages):
+        total += (per_stage_steps[i] if per_stage_steps is not None
+                  else cfg.train.num_steps)
         scfg = dataclasses.replace(
             cfg, train=dataclasses.replace(
-                cfg.train, stage=stage.strip(),
-                num_steps=cfg.train.num_steps * (i + 1)))
+                cfg.train, stage=stage.strip(), num_steps=total))
         train(scfg, dataset=dataset, logger=logger,
               resume=args.resume or i > 0, val_dataset=val_dataset, mesh=mesh)
     return 0
@@ -229,7 +241,9 @@ def main(argv=None) -> int:
 
     t = sub.add_parser("train", help="run the preset's training stage(s)")
     common(t)
-    t.add_argument("--steps", type=int, default=None)
+    t.add_argument("--steps", type=str, default=None,
+                   help="steps per stage: one count for all stages, or a "
+                        "comma list matched to --stages (e.g. 2500,1000)")
     t.add_argument("--batch-size", type=int, default=None,
                    help="override the preset batch size (must divide the "
                         "data-axis size under --sharded)")

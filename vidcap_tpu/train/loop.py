@@ -213,12 +213,31 @@ def train(
         from vidcap_tpu.data.pipeline import PrefetchBatcher
         it = PrefetchBatcher(it, depth=cfg.train.prefetch_depth)
     t_last, s_last = time.time(), start
-    for i in range(start, num_steps):
-        batch = next(it)
-        dbatch = batch_to_device_dict(batch)
+
+    def stage_next():
+        """Draw one batch and START its host→device transfer immediately
+        (jax.device_put is async), pairing it with the consumer-exact
+        iterator state after the draw. Called right after a step is
+        dispatched, so batch N+1's transfer rides the wire while the device
+        computes step N — the r4 at-scale run showed per-step dispatch+
+        transfer, not compute, dominating wall-clock in this environment.
+        Resume semantics are unchanged: checkpoints record the state paired
+        with the batch the step actually CONSUMED."""
+        d = batch_to_device_dict(next(it))
         if shard_batch_fn is not None:
-            dbatch = shard_batch_fn(dbatch)
+            d = shard_batch_fn(d)
+        else:
+            d = {k: jax.device_put(v) for k, v in d.items()}
+        return d, it.state
+
+    staged = None
+    for i in range(start, num_steps):
+        if staged is None:
+            staged = stage_next()
+        dbatch, it_state_consumed = staged
         state, metrics = step_fn(state, dbatch)
+        # step i dispatched (async) — overlap the next batch's transfer
+        staged = stage_next() if i + 1 < num_steps else None
         if (i + 1) % cfg.train.log_every == 0 or i + 1 == num_steps:
             now = time.time()
             sps = (i + 1 - s_last) / max(now - t_last, 1e-9)
@@ -227,7 +246,8 @@ def train(
             metrics["steps_per_sec"] = sps
             logger.log(i + 1, metrics)
         if (i + 1) % cfg.train.checkpoint_every == 0 or i + 1 == num_steps:
-            ckpt.save(state, iter_state=it.state, stage=cfg.train.stage)
+            ckpt.save(state, iter_state=it_state_consumed,
+                      stage=cfg.train.stage)
         if eval_every > 0 and (i + 1) % eval_every == 0:
             maybe_eval(i + 1, state)
     if hasattr(it, "close"):
