@@ -215,14 +215,17 @@ def train(
     t_last, s_last = time.time(), start
 
     def stage_next():
-        """Draw one batch and START its host→device transfer immediately
-        (jax.device_put is async), pairing it with the consumer-exact
-        iterator state after the draw. Called right after a step is
-        dispatched, so batch N+1's transfer rides the wire while the device
-        computes step N — the r4 at-scale run showed per-step dispatch+
-        transfer, not compute, dominating wall-clock in this environment.
-        Resume semantics are unchanged: checkpoints record the state paired
-        with the batch the step actually CONSUMED."""
+        """Draw one batch and run its host→device transfer, pairing it with
+        the consumer-exact iterator state after the draw. Submitted to a
+        1-worker thread right after a step is dispatched, so batch N+1's
+        transfer rides the wire while the device computes step N
+        (jax.device_put blocks its calling thread on this environment's
+        tunnel but releases the GIL, so a background thread genuinely
+        overlaps it — the r4 at-scale run showed per-step dispatch+transfer,
+        not compute, dominating wall-clock). Resume semantics are unchanged:
+        checkpoints record the state paired with the batch the step actually
+        CONSUMED. The single worker keeps the batch order and the iterator's
+        thread-unsafe state access strictly sequential."""
         d = batch_to_device_dict(next(it))
         if shard_batch_fn is not None:
             d = shard_batch_fn(d)
@@ -230,14 +233,16 @@ def train(
             d = {k: jax.device_put(v) for k, v in d.items()}
         return d, it.state
 
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=1)
     staged = None
     for i in range(start, num_steps):
         if staged is None:
-            staged = stage_next()
-        dbatch, it_state_consumed = staged
+            staged = pool.submit(stage_next)
+        dbatch, it_state_consumed = staged.result()
         state, metrics = step_fn(state, dbatch)
         # step i dispatched (async) — overlap the next batch's transfer
-        staged = stage_next() if i + 1 < num_steps else None
+        staged = pool.submit(stage_next) if i + 1 < num_steps else None
         if (i + 1) % cfg.train.log_every == 0 or i + 1 == num_steps:
             now = time.time()
             sps = (i + 1 - s_last) / max(now - t_last, 1e-9)
@@ -250,6 +255,7 @@ def train(
                       stage=cfg.train.stage)
         if eval_every > 0 and (i + 1) % eval_every == 0:
             maybe_eval(i + 1, state)
+    pool.shutdown(wait=True)
     if hasattr(it, "close"):
         it.close()
     ckpt.wait()
