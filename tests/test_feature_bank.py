@@ -1,0 +1,85 @@
+"""Device-resident feature bank (cfg.train.device_feature_bank): the jitted
+step gathers features/attributes from an HBM-resident bank by video_idx
+instead of receiving them with each batch. Must be BIT-EXACT vs the
+host-transfer path — the gather reads the same f32 rows the loader would
+have sliced on the host (SURVEY.md §3 input pipeline; PARITY §6 at-scale
+wall-clock is transfer-dominated, this removes ~99.7% of the per-step
+payload at production dims)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vidcap_tpu.models.model import create_model, init_params
+from vidcap_tpu.train.loop import batch_to_device_dict
+from vidcap_tpu.train.scst import make_scst_step, make_scst_step_body
+from vidcap_tpu.train.state import create_train_state
+from vidcap_tpu.train.steps import (make_banked_step, make_xe_step,
+                                    make_xe_step_body)
+
+
+def _max_tree_delta(a, b):
+    return max(float(jnp.max(jnp.abs(x - y))) for x, y in
+               zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)))
+
+
+def test_banked_xe_step_bit_exact(tiny_cfg, tiny_dataset):
+    cfg = tiny_cfg
+    model = create_model(cfg, vocab_size=tiny_dataset.vocab.size)
+    # two independent param trees (same key => identical values, separate
+    # buffers — donate_state would otherwise delete the shared arrays)
+    state_a = create_train_state(cfg, init_params(model, cfg, jax.random.key(0)))
+    state_b = create_train_state(cfg, init_params(model, cfg, jax.random.key(0)))
+
+    plain = make_xe_step(model, cfg)
+    banked, banks = make_banked_step(
+        cfg, make_xe_step_body(model, cfg), tiny_dataset)
+    assert banks["features"].shape == tiny_dataset.features.shape
+
+    it = tiny_dataset.batches(8, seed=3)
+    for _ in range(3):
+        b = next(it)
+        state_a, m_a = plain(state_a, batch_to_device_dict(b))
+        state_b, m_b = banked(state_b, batch_to_device_dict(b, bank_mode=True))
+        assert float(m_a["loss"]) == float(m_b["loss"])
+    assert _max_tree_delta(state_a.params, state_b.params) == 0.0
+
+
+def test_banked_batch_dict_omits_features(tiny_dataset):
+    b = next(tiny_dataset.batches(4, seed=0))
+    full = batch_to_device_dict(b)
+    lean = batch_to_device_dict(b, bank_mode=True)
+    assert "features" in full and "attributes" in full
+    assert "features" not in lean and "attributes" not in lean
+    assert "video_idx" in lean and "tokens" in lean and "mask" in lean
+
+
+def test_banked_scst_step_bit_exact(tiny_cfg, tiny_dataset):
+    cfg = dataclasses.replace(
+        tiny_cfg, train=dataclasses.replace(
+            tiny_cfg.train, stage="scst", batch_size=8))
+    model = create_model(cfg, vocab_size=tiny_dataset.vocab.size)
+    state_a = create_train_state(cfg, init_params(model, cfg, jax.random.key(1)))
+    state_b = create_train_state(cfg, init_params(model, cfg, jax.random.key(1)))
+
+    plain = make_scst_step(model, cfg, tiny_dataset)
+    banked, _ = make_banked_step(
+        cfg, make_scst_step_body(model, cfg, tiny_dataset), tiny_dataset)
+
+    it = tiny_dataset.batches(8, seed=5)
+    for _ in range(2):
+        b = next(it)
+        state_a, m_a = plain(state_a, batch_to_device_dict(b))
+        state_b, m_b = banked(state_b, batch_to_device_dict(b, bank_mode=True))
+        assert float(m_a["loss"]) == float(m_b["loss"])
+        assert float(m_a["reward_sample"]) == float(m_b["reward_sample"])
+    assert _max_tree_delta(state_a.params, state_b.params) == 0.0
+
+
+def test_banked_rejects_pixel_mode(tiny_cfg):
+    from vidcap_tpu.data.loader import CaptionDataset
+    ds = CaptionDataset.synthetic(tiny_cfg.data, num_videos=4, seed=0,
+                                  pixels=True)
+    with pytest.raises(ValueError, match="feature-mode"):
+        make_banked_step(tiny_cfg, lambda s, b: (s, {}), ds)

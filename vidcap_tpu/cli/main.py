@@ -68,6 +68,10 @@ def cmd_train(args) -> int:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train,
                                            checkpoint_dir=args.checkpoint_dir))
+    if args.feature_bank:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           device_feature_bank=True))
     # --sharded: multi-chip training over all visible chips (SURVEY.md §2.3
     # "DP core"): batch shards over the mesh's data axis, grads psum over ICI,
     # the optional model axis carries the vocab-TP seam
@@ -255,6 +259,10 @@ def main(argv=None) -> int:
                    help="override the preset's periodic-eval cadence "
                         "(0 disables)")
     t.add_argument("--log-every", type=int, default=None)
+    t.add_argument("--feature-bank", action="store_true",
+                   help="park the whole feature tensor in HBM once and gather "
+                        "rows on-device per step (feature-mode, single-device;"
+                        " cuts per-step host->device payload ~300x)")
     t.add_argument("--sharded", action="store_true",
                    help="train over all visible chips (GSPMD: batch sharded "
                         "over the data axis, grads psum over ICI)")

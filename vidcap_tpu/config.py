@@ -100,6 +100,13 @@ class TrainConfig:
     prefetch_depth: int = 0               # >0: host-side background prefetch of
     #   that many batches (exact resume preserved — the consumer-side iterator
     #   state ships with each batch)
+    device_feature_bank: bool = False     # park the WHOLE feature tensor
+    #   [N_videos, T, D] (+ attributes) in HBM once and gather rows by
+    #   video_idx inside the jitted step — per-step host→device payload drops
+    #   from ~10 MB (B=64 production dims) to the token rows (~30 KB).
+    #   Bit-exact vs the host-transfer path (same f32 rows, same stream).
+    #   Feature-mode, single-device only; ignored for pixel/e2e inputs and
+    #   sharded training (features there are sharded along batch on the mesh).
     # checkpointing
     checkpoint_dir: str = "checkpoints"
     checkpoint_every: int = 1000

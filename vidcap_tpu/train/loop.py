@@ -19,14 +19,20 @@ from vidcap_tpu.train.steps import make_xe_step
 from vidcap_tpu.utils.logging import MetricsLogger
 
 
-def batch_to_device_dict(batch: Batch) -> Dict[str, np.ndarray]:
-    return {
-        "features": batch.features,
+def batch_to_device_dict(batch: Batch, bank_mode: bool = False
+                         ) -> Dict[str, np.ndarray]:
+    """Batch → the dict the jitted step consumes. In feature-bank mode
+    (``cfg.train.device_feature_bank``) features/attributes stay home — the
+    step gathers them on-device from the resident bank by ``video_idx``."""
+    d = {
         "tokens": batch.tokens,
         "mask": batch.mask,
-        "attributes": batch.attributes,
         "video_idx": batch.video_idx,
     }
+    if not bank_mode:
+        d["features"] = batch.features
+        d["attributes"] = batch.attributes
+    return d
 
 
 def _subset_dataset(dataset: CaptionDataset, max_videos: int
@@ -137,6 +143,16 @@ def train(
             from vidcap_tpu.parallel.sharding import place_state
             state = place_state(state, mesh)
 
+    # Feature-bank mode: single-device, feature-mode inputs only (sharded
+    # training shards features along batch on the mesh; pixel datasets are
+    # too large to bank) — see config.TrainConfig.device_feature_bank.
+    bank_mode = (cfg.train.device_feature_bank and mesh is None
+                 and make_step is None and dataset.features.ndim == 3)
+    if cfg.train.device_feature_bank and not bank_mode:
+        import sys
+        print("[vidcap] device_feature_bank ignored (sharded run, custom "
+              "step, or pixel-mode inputs)", file=sys.stderr)
+
     if make_step is None:
         if cfg.train.stage in ("xe", "e2e"):
             if mesh is not None:
@@ -144,6 +160,11 @@ def train(
                 from vidcap_tpu.train.steps import make_xe_step_body
                 step_fn = make_sharded_step(
                     cfg, mesh, make_xe_step_body(model, cfg))
+            elif bank_mode:
+                from vidcap_tpu.train.steps import (make_banked_step,
+                                                    make_xe_step_body)
+                step_fn, _ = make_banked_step(
+                    cfg, make_xe_step_body(model, cfg), dataset)
             else:
                 step_fn = make_xe_step(model, cfg)
         elif cfg.train.stage == "scst":
@@ -153,6 +174,10 @@ def train(
                 from vidcap_tpu.parallel.sharding import make_sharded_step
                 step_fn = make_sharded_step(
                     cfg, mesh, make_scst_step_body(model, cfg, dataset))
+            elif bank_mode:
+                from vidcap_tpu.train.steps import make_banked_step
+                step_fn, _ = make_banked_step(
+                    cfg, make_scst_step_body(model, cfg, dataset), dataset)
             else:
                 step_fn = make_scst_step(model, cfg, dataset)
         else:
@@ -226,7 +251,7 @@ def train(
         checkpoints record the state paired with the batch the step actually
         CONSUMED. The single worker keeps the batch order and the iterator's
         thread-unsafe state access strictly sequential."""
-        d = batch_to_device_dict(next(it))
+        d = batch_to_device_dict(next(it), bank_mode=bank_mode)
         if shard_batch_fn is not None:
             d = shard_batch_fn(d)
         else:

@@ -81,6 +81,47 @@ def make_xe_step(model: VidCapModel, cfg: Config
                    donate_argnums=(0,) if cfg.train.donate_state else ())
 
 
+def make_banked_step(cfg: Config, body: Callable, dataset
+                     ) -> Tuple[Callable, Dict[str, Array]]:
+    """Wrap an UNJITTED step body so features/attributes are gathered from a
+    device-resident bank instead of shipped with every batch
+    (``cfg.train.device_feature_bank``).
+
+    The whole ``dataset.features`` tensor ([N_videos, T, D], e.g. 5k × 26 ×
+    1536 f32 ≈ 800 MB) is placed in HBM once; the jitted step gathers its
+    batch rows by ``video_idx`` on-device. Per-step host→device payload drops
+    to the token rows. Numerically bit-exact vs the host-transfer path: the
+    gather reads the SAME f32 rows the loader would have sliced on the host.
+
+    Returns ``(step_fn, banks)`` where ``step_fn(state, batch)`` closes over
+    the device banks (they stay resident — no re-transfer per call)."""
+    feats = dataset.features
+    if feats.ndim != 3:
+        raise ValueError(
+            "device_feature_bank requires feature-mode inputs [N, T, D]; "
+            f"got ndim={feats.ndim} (pixel/e2e datasets are too large to bank)")
+    banks = {
+        "features": jax.device_put(jnp.asarray(feats)),
+        "attributes": jax.device_put(jnp.asarray(dataset.attributes)),
+    }
+
+    def banked(state: TrainState, batch: Dict[str, Array],
+               bank_feats: Array, bank_attrs: Array):
+        b = dict(batch)
+        vidx = batch["video_idx"]
+        b["features"] = jnp.take(bank_feats, vidx, axis=0)
+        b["attributes"] = jnp.take(bank_attrs, vidx, axis=0)
+        return body(state, b)
+
+    jitted = jax.jit(banked,
+                     donate_argnums=(0,) if cfg.train.donate_state else ())
+
+    def step_fn(state: TrainState, batch: Dict[str, Array]):
+        return jitted(state, batch, banks["features"], banks["attributes"])
+
+    return step_fn, banks
+
+
 def optax_global_norm(tree) -> Array:
     leaves = jax.tree_util.tree_leaves(tree)
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
