@@ -77,6 +77,34 @@ def test_banked_scst_step_bit_exact(tiny_cfg, tiny_dataset):
     assert _max_tree_delta(state_a.params, state_b.params) == 0.0
 
 
+def test_banked_interrupted_resume_exact_parity(tmp_path, tiny_cfg,
+                                                tiny_dataset):
+    """Bank mode must preserve the SIGKILL-exact resume property: interrupt
+    at a checkpoint, resume, and land on bit-identical params vs an
+    uninterrupted banked run (mirrors test_fault_recovery)."""
+    import numpy as np
+    from vidcap_tpu.train.loop import train
+    from vidcap_tpu.utils.logging import MetricsLogger
+
+    logger = MetricsLogger(quiet=True)
+
+    def _cfg(steps, name):
+        return dataclasses.replace(
+            tiny_cfg, train=dataclasses.replace(
+                tiny_cfg.train, num_steps=steps, checkpoint_every=5,
+                log_every=100, device_feature_bank=True,
+                checkpoint_dir=str(tmp_path / name)))
+
+    state_a = train(_cfg(10, "a"), dataset=tiny_dataset, logger=logger)
+    train(_cfg(5, "b"), dataset=tiny_dataset, logger=logger)
+    state_b = train(_cfg(10, "b"), dataset=tiny_dataset, logger=logger,
+                    resume=True)
+    assert int(state_a.step) == int(state_b.step) == 10
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_banked_rejects_pixel_mode(tiny_cfg):
     from vidcap_tpu.data.loader import CaptionDataset
     ds = CaptionDataset.synthetic(tiny_cfg.data, num_videos=4, seed=0,
