@@ -105,6 +105,28 @@ def test_banked_interrupted_resume_exact_parity(tmp_path, tiny_cfg,
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_caption_dataset_device_bank_identical(tiny_cfg, tiny_dataset):
+    """Decode-side bank (Captioner.caption_dataset(device_bank=True)) must
+    produce the identical captions as the host-transfer path."""
+    from vidcap_tpu.inference import Captioner
+    from vidcap_tpu.models.model import create_model, init_params
+
+    model = create_model(tiny_cfg, vocab_size=tiny_dataset.vocab.size)
+    params = init_params(model, tiny_cfg, jax.random.key(2))
+
+    class _S:
+        pass
+
+    s = _S()
+    s.params = params
+    cap = Captioner.from_state(tiny_cfg, tiny_dataset, s)
+    plain = cap.caption_dataset(method="greedy", batch_size=8)
+    banked = cap.caption_dataset(method="greedy", batch_size=8,
+                                 device_bank=True)
+    assert plain == banked
+    assert cap._feature_bank is not None   # cached across calls
+
+
 def test_banked_rejects_pixel_mode(tiny_cfg):
     from vidcap_tpu.data.loader import CaptionDataset
     ds = CaptionDataset.synthetic(tiny_cfg.data, num_videos=4, seed=0,

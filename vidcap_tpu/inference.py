@@ -49,7 +49,14 @@ class Captioner:
             mgr = CheckpointManager(checkpoint_dir)
             if mgr.latest_step() is not None:
                 state = create_train_state(cfg, params)
-                params = mgr.restore(state).params
+                try:
+                    params = mgr.restore(state).params
+                except Exception as e:
+                    raise ValueError(
+                        f"checkpoint at {checkpoint_dir!r} does not match the "
+                        f"model built from this preset/dataset (vocab size "
+                        f"{dataset.vocab.size} — wrong split or synthetic "
+                        f"fallback?): {e}") from e
             mgr.close()
         return cls(cfg, model, params, dataset, seed=seed, mesh=mesh)
 
@@ -214,13 +221,29 @@ class Captioner:
     # ------------------------------------------------------------ dataset decode
 
     def caption_dataset(self, method: str = "greedy", beam_width: int = 5,
-                        temperature: float = 1.0, batch_size: int = 32
-                        ) -> Dict[str, List[str]]:
-        """Decode every video in the dataset → {video_id: [caption string]}."""
+                        temperature: float = 1.0, batch_size: int = 32,
+                        device_bank: bool = False) -> Dict[str, List[str]]:
+        """Decode every video in the dataset → {video_id: [caption string]}.
+
+        device_bank: park the whole feature tensor in HBM once and gather each
+        batch's rows on-device (mirrors train's ``device_feature_bank``) — the
+        per-batch host→device payload drops from the feature rows to the index
+        vector. Bit-exact; feature-mode single-device only (the sharded decode
+        shards features over the mesh)."""
         results: Dict[str, List[str]] = {}
         vocab = self.dataset.vocab
+        bank = None
+        if (device_bank and self.mesh is None
+                and self.dataset.features.ndim == 3):
+            if getattr(self, "_feature_bank", None) is None:
+                self._feature_bank = jax.device_put(
+                    jnp.asarray(self.dataset.features))
+            bank = self._feature_bank
+            gather = jax.jit(lambda b, i: jnp.take(b, i, axis=0))
         for batch in self.dataset.video_batches(batch_size):
-            toks = self.decode_batch(batch.features, method=method,
+            feats = (gather(bank, jnp.asarray(batch.video_idx))
+                     if bank is not None else batch.features)
+            toks = self.decode_batch(feats, method=method,
                                      beam_width=beam_width,
                                      temperature=temperature)
             for row, vidx in zip(toks, batch.video_idx):

@@ -58,7 +58,8 @@ def run_validation(cfg: Config, captioner, val_dataset: CaptionDataset
     from vidcap_tpu.metrics.evaluate import evaluate_captions
     results = captioner.caption_dataset(
         method=cfg.train.eval_method, batch_size=cfg.train.batch_size,
-        beam_width=cfg.decode.beam_width)
+        beam_width=cfg.decode.beam_width,
+        device_bank=cfg.train.device_feature_bank)
     refs = {v: val_dataset.video_captions[v] for v in results
             if v in val_dataset.video_captions}
     return evaluate_captions(refs, {v: results[v] for v in refs})
