@@ -83,6 +83,10 @@ def cmd_train(args) -> int:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train,
                                            device_feature_bank=True))
+    if args.steps_per_dispatch is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, steps_per_dispatch=args.steps_per_dispatch))
     # --sharded: multi-chip training over all visible chips (SURVEY.md §2.3
     # "DP core"): batch shards over the mesh's data axis, grads psum over ICI,
     # the optional model axis carries the vocab-TP seam
@@ -280,6 +284,10 @@ def main(argv=None) -> int:
                    help="park the whole feature tensor in HBM once and gather "
                         "rows on-device per step (feature-mode, single-device;"
                         " cuts per-step host->device payload ~300x)")
+    t.add_argument("--steps-per-dispatch", type=int, default=None,
+                   help="with --feature-bank: lax.scan K steps per jitted "
+                        "call, amortizing per-dispatch latency (same batch "
+                        "stream/numerics; ckpt+eval at chunk boundaries)")
     t.add_argument("--sharded", action="store_true",
                    help="train over all visible chips (GSPMD: batch sharded "
                         "over the data axis, grads psum over ICI)")

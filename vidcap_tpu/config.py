@@ -107,6 +107,12 @@ class TrainConfig:
     #   Bit-exact vs the host-transfer path (same f32 rows, same stream).
     #   Feature-mode, single-device only; ignored for pixel/e2e inputs and
     #   sharded training (features there are sharded along batch on the mesh).
+    steps_per_dispatch: int = 1           # >1 (bank mode only): lax.scan K
+    #   steps per jitted call — amortizes the per-dispatch host<->device
+    #   round-trip that dominates once the bank removes the payload. Same
+    #   batch stream, same numerics; checkpoints/evals fire at chunk
+    #   boundaries when their cadence is crossed (per-step LOG granularity is
+    #   preserved — the scan returns each step's metrics).
     # checkpointing
     checkpoint_dir: str = "checkpoints"
     checkpoint_every: int = 1000

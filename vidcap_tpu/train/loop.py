@@ -154,6 +154,8 @@ def train(
         print("[vidcap] device_feature_bank ignored (sharded run, custom "
               "step, or pixel-mode inputs)", file=sys.stderr)
 
+    k_dispatch = max(1, cfg.train.steps_per_dispatch) if bank_mode else 1
+    chunk_fn = None   # k_dispatch-step lax.scan dispatch (bank mode only)
     if make_step is None:
         if cfg.train.stage in ("xe", "e2e"):
             if mesh is not None:
@@ -162,10 +164,8 @@ def train(
                 step_fn = make_sharded_step(
                     cfg, mesh, make_xe_step_body(model, cfg))
             elif bank_mode:
-                from vidcap_tpu.train.steps import (make_banked_step,
-                                                    make_xe_step_body)
-                step_fn, _ = make_banked_step(
-                    cfg, make_xe_step_body(model, cfg), dataset)
+                from vidcap_tpu.train.steps import make_xe_step_body
+                body = make_xe_step_body(model, cfg)
             else:
                 step_fn = make_xe_step(model, cfg)
         elif cfg.train.stage == "scst":
@@ -176,13 +176,22 @@ def train(
                 step_fn = make_sharded_step(
                     cfg, mesh, make_scst_step_body(model, cfg, dataset))
             elif bank_mode:
-                from vidcap_tpu.train.steps import make_banked_step
-                step_fn, _ = make_banked_step(
-                    cfg, make_scst_step_body(model, cfg, dataset), dataset)
+                body = make_scst_step_body(model, cfg, dataset)
             else:
                 step_fn = make_scst_step(model, cfg, dataset)
         else:
             raise ValueError(f"unknown stage {cfg.train.stage!r}")
+        if bank_mode:
+            from vidcap_tpu.train.steps import (make_banked_multistep,
+                                                make_banked_step)
+            if k_dispatch > 1:
+                chunk_fn, banks = make_banked_multistep(
+                    cfg, body, dataset, k_dispatch)
+                # the (< k)-step tail falls through to the single-step path;
+                # share the HBM banks so they exist on-device exactly once
+                step_fn, _ = make_banked_step(cfg, body, dataset, banks=banks)
+            else:
+                step_fn, _ = make_banked_step(cfg, body, dataset)
     else:
         step_fn = make_step(model, cfg)
 
@@ -258,6 +267,45 @@ def train(
         else:
             d = {k: jax.device_put(v) for k, v in d.items()}
         return d, it.state
+
+    if chunk_fn is not None:
+        # Multi-step dispatch (cfg.train.steps_per_dispatch = K, bank mode):
+        # one jitted lax.scan call advances K steps — amortizes the
+        # per-dispatch host↔device round-trip that dominates wall-clock once
+        # the bank removes the payload. Same batch stream, same numerics as
+        # K=1 (tests/test_multistep.py). Checkpoints/evals fire at the chunk
+        # boundary that crosses their cadence; the iterator state saved with
+        # a checkpoint covers exactly the chunks consumed, so exact resume is
+        # preserved (and K may even change across a resume). Per-step LOG
+        # rows are preserved — the scan returns every step's metrics.
+        def _crossed(cadence: int, a: int, b: int) -> bool:
+            return cadence > 0 and (b // cadence) > (a // cadence)
+
+        while num_steps - start >= k_dispatch:
+            ds_list = [batch_to_device_dict(next(it), bank_mode=True)
+                       for _ in range(k_dispatch)]
+            it_state_consumed = it.state
+            batches = {key: np.stack([d[key] for d in ds_list])
+                       for key in ds_list[0]}
+            t0 = time.time()
+            state, metrics = chunk_fn(state, batches)
+            metrics = {key: np.asarray(v) for key, v in metrics.items()}
+            chunk_sps = k_dispatch / max(time.time() - t0, 1e-9)
+            for j in range(k_dispatch):
+                g = start + j + 1
+                if g % cfg.train.log_every == 0 or g == num_steps:
+                    row = {key: float(v[j]) for key, v in metrics.items()}
+                    row["steps_per_sec"] = chunk_sps
+                    logger.log(g, row)
+            end = start + k_dispatch
+            if _crossed(cfg.train.checkpoint_every, start, end) \
+                    or end == num_steps:
+                ckpt.save(state, iter_state=it_state_consumed,
+                          stage=cfg.train.stage)
+            if _crossed(eval_every, start, end):
+                maybe_eval(end, state)
+            start = end
+        t_last, s_last = time.time(), start
 
     from concurrent.futures import ThreadPoolExecutor
     pool = ThreadPoolExecutor(max_workers=1)
