@@ -281,57 +281,72 @@ def train(
         def _crossed(cadence: int, a: int, b: int) -> bool:
             return cadence > 0 and (b // cadence) > (a // cadence)
 
-        while num_steps - start >= k_dispatch:
-            ds_list = [batch_to_device_dict(next(it), bank_mode=True)
-                       for _ in range(k_dispatch)]
-            it_state_consumed = it.state
-            batches = {key: np.stack([d[key] for d in ds_list])
-                       for key in ds_list[0]}
-            t0 = time.time()
-            state, metrics = chunk_fn(state, batches)
-            metrics = {key: np.asarray(v) for key, v in metrics.items()}
-            chunk_sps = k_dispatch / max(time.time() - t0, 1e-9)
-            for j in range(k_dispatch):
-                g = start + j + 1
-                if g % cfg.train.log_every == 0 or g == num_steps:
-                    row = {key: float(v[j]) for key, v in metrics.items()}
-                    row["steps_per_sec"] = chunk_sps
-                    logger.log(g, row)
-            end = start + k_dispatch
-            if _crossed(cfg.train.checkpoint_every, start, end) \
-                    or end == num_steps:
-                ckpt.save(state, iter_state=it_state_consumed,
-                          stage=cfg.train.stage)
-            if _crossed(eval_every, start, end):
-                maybe_eval(end, state)
-            start = end
+        try:
+            while num_steps - start >= k_dispatch:
+                ds_list = [batch_to_device_dict(next(it), bank_mode=True)
+                           for _ in range(k_dispatch)]
+                it_state_consumed = it.state
+                batches = {key: np.stack([d[key] for d in ds_list])
+                           for key in ds_list[0]}
+                t0 = time.time()
+                state, metrics = chunk_fn(state, batches)
+                metrics = {key: np.asarray(v)
+                           for key, v in metrics.items()}
+                chunk_sps = k_dispatch / max(time.time() - t0, 1e-9)
+                for j in range(k_dispatch):
+                    g = start + j + 1
+                    if g % cfg.train.log_every == 0 or g == num_steps:
+                        row = {key: float(v[j])
+                               for key, v in metrics.items()}
+                        row["steps_per_sec"] = chunk_sps
+                        logger.log(g, row)
+                end = start + k_dispatch
+                if _crossed(cfg.train.checkpoint_every, start, end) \
+                        or end == num_steps:
+                    ckpt.save(state, iter_state=it_state_consumed,
+                              stage=cfg.train.stage)
+                if _crossed(eval_every, start, end):
+                    maybe_eval(end, state)
+                start = end
+        except BaseException:
+            # a raising chunk_fn must not leak the prefetcher's thread;
+            # the remainder-steps loop below has its own finally for the
+            # normal path
+            if hasattr(it, "close"):
+                it.close()
+            raise
         t_last, s_last = time.time(), start
 
     from concurrent.futures import ThreadPoolExecutor
     pool = ThreadPoolExecutor(max_workers=1)
     staged = None
-    for i in range(start, num_steps):
-        if staged is None:
-            staged = pool.submit(stage_next)
-        dbatch, it_state_consumed = staged.result()
-        state, metrics = step_fn(state, dbatch)
-        # step i dispatched (async) — overlap the next batch's transfer
-        staged = pool.submit(stage_next) if i + 1 < num_steps else None
-        if (i + 1) % cfg.train.log_every == 0 or i + 1 == num_steps:
-            now = time.time()
-            sps = (i + 1 - s_last) / max(now - t_last, 1e-9)
-            t_last, s_last = now, i + 1
-            metrics = dict(metrics)
-            metrics["steps_per_sec"] = sps
-            logger.log(i + 1, metrics)
-        if (i + 1) % cfg.train.checkpoint_every == 0 or i + 1 == num_steps:
-            ckpt.save(state, iter_state=it_state_consumed,
-                      stage=cfg.train.stage)
-        if eval_every > 0 and (i + 1) % eval_every == 0:
-            maybe_eval(i + 1, state)
-    pool.shutdown(wait=True)
-    if hasattr(it, "close"):
-        it.close()
+    try:
+        for i in range(start, num_steps):
+            if staged is None:
+                staged = pool.submit(stage_next)
+            dbatch, it_state_consumed = staged.result()
+            state, metrics = step_fn(state, dbatch)
+            # step i dispatched (async) — overlap the next batch's transfer
+            staged = pool.submit(stage_next) if i + 1 < num_steps else None
+            if (i + 1) % cfg.train.log_every == 0 or i + 1 == num_steps:
+                now = time.time()
+                sps = (i + 1 - s_last) / max(now - t_last, 1e-9)
+                t_last, s_last = now, i + 1
+                metrics = dict(metrics)
+                metrics["steps_per_sec"] = sps
+                logger.log(i + 1, metrics)
+            if (i + 1) % cfg.train.checkpoint_every == 0 or i + 1 == num_steps:
+                ckpt.save(state, iter_state=it_state_consumed,
+                          stage=cfg.train.stage)
+            if eval_every > 0 and (i + 1) % eval_every == 0:
+                maybe_eval(i + 1, state)
+    finally:
+        # a raising step_fn must not leak the transfer worker or the
+        # prefetcher's thread — shutdown unconditionally (the in-flight
+        # device_put finishes; it holds no locks the main thread needs)
+        pool.shutdown(wait=True)
+        if hasattr(it, "close"):
+            it.close()
     ckpt.wait()
     ckpt.close()
     if best_ckpt is not None:
