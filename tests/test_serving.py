@@ -482,10 +482,22 @@ def test_http_hardening(tmp_path, tiny_cfg, tiny_dataset):
                         "application/json")
     assert status == 403 and "escapes" in body["error"]
 
-    # oversize body → 413 (cap set to 4KB above)
-    big = np.zeros((T, D + 4096), np.float32)
+    # oversize body within the 4x drain cap → drained, clean 413
+    big = np.zeros(2048, np.float32)          # ~8KB > 4KB cap, < 16KB drain
     status, body = post_npy(big)
     assert status == 413
+
+    # body beyond the drain cap → server closes without a response (writing
+    # into a still-uploading socket would be the broken pipe the drain
+    # avoids); client sees a dropped connection, not a hung upload
+    import http.client as _hc
+    huge = np.zeros((T, D + 4096), np.float32)   # ~66KB > 16KB drain cap
+    try:
+        status, _ = post_npy(huge)
+        assert status == 413   # acceptable if the stack delivered it anyway
+    except (_hc.RemoteDisconnected, _hc.BadStatusLine, ConnectionError,
+            BrokenPipeError, OSError):
+        pass
 
     # decode failure → JSON 500, handler thread stays alive
     orig = svc.captioner.decode_batch
@@ -499,6 +511,17 @@ def test_http_hardening(tmp_path, tiny_cfg, tiny_dataset):
     # server still serves after the 500
     status, body = post_npy(rng.normal(size=(T, D)).astype(np.float32))
     assert status == 200
+
+    # decode deadline → 503, not 400: builtin TimeoutError IS an OSError
+    # subclass, so the 503 clause must come before the OSError one
+    orig_submit = svc.submit
+    svc.submit = lambda *a, **k: (_ for _ in ()).throw(
+        TimeoutError("decode timed out"))
+    try:
+        status, body = post_npy(rng.normal(size=(T, D)).astype(np.float32))
+        assert status == 503 and "timed out" in body["error"]
+    finally:
+        svc.submit = orig_submit
 
     server.shutdown()
     svc.close()

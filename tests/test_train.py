@@ -262,3 +262,24 @@ def test_eval_method_knob(tiny_cfg, tiny_dataset):
     assert calls["method"] == "beam"
     assert calls["beam"] == cfg.decode.beam_width
     assert "CIDEr" in scores
+
+
+def test_log_every_zero_disables_periodic_rows(tiny_cfg, tiny_dataset):
+    """log_every=0 disables periodic train rows (mirroring eval_every's '0
+    disables' contract) instead of dividing by zero; the final step still
+    logs so steps/s is always recorded."""
+    cfg = dataclasses.replace(
+        tiny_cfg, train=dataclasses.replace(tiny_cfg.train, num_steps=4,
+                                            log_every=0))
+
+    rows = []
+
+    class RecordingLogger(MetricsLogger):
+        def log(self, step, metrics, prefix="train"):
+            rows.append((int(step), dict(metrics)))
+            super().log(step, metrics, prefix)
+
+    state = train(cfg, dataset=tiny_dataset,
+                  logger=RecordingLogger(quiet=True))
+    assert int(state.step) == 4
+    assert [s for s, r in rows if "steps_per_sec" in r] == [4]

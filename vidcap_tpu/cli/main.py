@@ -83,10 +83,17 @@ def cmd_train(args) -> int:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train,
                                            device_feature_bank=True))
+    # --steps-per-dispatch mirrors --steps: one K for every stage or a comma
+    # list matched to --stages (e.g. --stages xe,scst --steps-per-dispatch
+    # 25,1 — measured: XE gains from K=25 while SCST is fastest at K=1)
+    per_stage_k = None
     if args.steps_per_dispatch is not None:
+        ks = [int(s) for s in str(args.steps_per_dispatch).split(",")]
+        if len(ks) > 1:
+            per_stage_k = ks
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(
-                cfg.train, steps_per_dispatch=args.steps_per_dispatch))
+                cfg.train, steps_per_dispatch=ks[0]))
     # --sharded: multi-chip training over all visible chips (SURVEY.md §2.3
     # "DP core"): batch shards over the mesh's data axis, grads psum over ICI,
     # the optional model axis carries the vocab-TP seam
@@ -107,6 +114,9 @@ def cmd_train(args) -> int:
     if per_stage_steps is not None and len(per_stage_steps) != len(stages):
         raise SystemExit(f"--steps lists {len(per_stage_steps)} counts for "
                          f"{len(stages)} stages")
+    if per_stage_k is not None and len(per_stage_k) != len(stages):
+        raise SystemExit(f"--steps-per-dispatch lists {len(per_stage_k)} "
+                         f"values for {len(stages)} stages")
     # staged schedule (SURVEY.md §0.5): e.g. --stages xe,scst runs XE then
     # SCST fine-tuning, resuming each stage from the previous checkpoint.
     # num_steps is cumulative (the loop trains from the restored step).
@@ -116,7 +126,10 @@ def cmd_train(args) -> int:
                   else cfg.train.num_steps)
         scfg = dataclasses.replace(
             cfg, train=dataclasses.replace(
-                cfg.train, stage=stage.strip(), num_steps=total))
+                cfg.train, stage=stage.strip(), num_steps=total,
+                steps_per_dispatch=(per_stage_k[i]
+                                    if per_stage_k is not None
+                                    else cfg.train.steps_per_dispatch)))
         train(scfg, dataset=dataset, logger=logger,
               resume=args.resume or i > 0, val_dataset=val_dataset, mesh=mesh)
     return 0
@@ -153,8 +166,7 @@ def cmd_caption(args) -> int:
     method = args.method or cfg.decode.method
     _decode_split(cfg, method, args.beam or cfg.decode.beam_width,
                   args.temperature, args.checkpoint_dir, args.out,
-                  seed=getattr(args, "seed", None),
-                  feature_bank=args.feature_bank)
+                  seed=getattr(args, "seed", None))
     return 0
 
 
@@ -279,15 +291,19 @@ def main(argv=None) -> int:
     t.add_argument("--eval-every", type=int, default=None,
                    help="override the preset's periodic-eval cadence "
                         "(0 disables)")
-    t.add_argument("--log-every", type=int, default=None)
+    t.add_argument("--log-every", type=int, default=None,
+                   help="cadence of train log rows (0 disables periodic "
+                        "rows; the final step and evals still log)")
     t.add_argument("--feature-bank", action="store_true",
                    help="park the whole feature tensor in HBM once and gather "
                         "rows on-device per step (feature-mode, single-device;"
                         " cuts per-step host->device payload ~300x)")
-    t.add_argument("--steps-per-dispatch", type=int, default=None,
+    t.add_argument("--steps-per-dispatch", type=str, default=None,
                    help="with --feature-bank: lax.scan K steps per jitted "
                         "call, amortizing per-dispatch latency (same batch "
-                        "stream/numerics; ckpt+eval at chunk boundaries)")
+                        "stream/numerics; ckpt+eval at chunk boundaries). "
+                        "One K or a comma list matched to --stages "
+                        "(e.g. 25,1)")
     t.add_argument("--sharded", action="store_true",
                    help="train over all visible chips (GSPMD: batch sharded "
                         "over the data axis, grads psum over ICI)")

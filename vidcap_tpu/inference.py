@@ -239,7 +239,11 @@ class Captioner:
                 self._feature_bank = jax.device_put(
                     jnp.asarray(self.dataset.features))
             bank = self._feature_bank
-            gather = jax.jit(lambda b, i: jnp.take(b, i, axis=0))
+            # cached like every other compiled fn — a fresh jit per periodic
+            # eval would pay a compile-cache lookup over the tunnel each time
+            gather = self._get(("bank_gather",),
+                               lambda: jax.jit(
+                                   lambda b, i: jnp.take(b, i, axis=0)))
         for batch in self.dataset.video_batches(batch_size):
             feats = (gather(bank, jnp.asarray(batch.video_idx))
                      if bank is not None else batch.features)

@@ -495,15 +495,19 @@ def make_http_server(cfg: Config, captioner, port: int = 0,
                 if n > max_body_bytes:
                     # drain (bounded, chunked, never buffered) so the client
                     # receives a clean 413 instead of a broken pipe mid-send;
-                    # beyond the drain cap just close the connection
-                    remaining = n
-                    while remaining > 0 and n <= 4 * max_body_bytes:
-                        chunk = self.rfile.read(min(remaining, 1 << 20))
-                        if not chunk:
-                            break
-                        remaining -= len(chunk)
-                    self._json(413, {"error": f"body of {n} bytes exceeds "
-                                              f"the {max_body_bytes} limit"})
+                    # beyond the drain cap skip the response — writing into
+                    # a still-uploading socket is the broken pipe the drain
+                    # exists to avoid — and just close the connection
+                    if n <= 4 * max_body_bytes:
+                        remaining = n
+                        while remaining > 0:
+                            chunk = self.rfile.read(min(remaining, 1 << 20))
+                            if not chunk:
+                                break
+                            remaining -= len(chunk)
+                        self._json(413,
+                                   {"error": f"body of {n} bytes exceeds "
+                                             f"the {max_body_bytes} limit"})
                     self.close_connection = True
                     return
                 body = self.rfile.read(n)
@@ -517,12 +521,14 @@ def make_http_server(cfg: Config, captioner, port: int = 0,
                 self._json(200, {"caption": caption})
             except PermissionError as e:
                 self._json(403, {"error": str(e)})
-            except (ValueError, KeyError, OSError) as e:
-                self._json(400, {"error": str(e)})
             except ServerOverloaded as e:
                 self._json(429, {"error": str(e)})
             except TimeoutError as e:
+                # before OSError: builtin TimeoutError IS an OSError, and a
+                # decode deadline is a server-side 503, not a client 400
                 self._json(503, {"error": str(e)})
+            except (ValueError, KeyError, OSError) as e:
+                self._json(400, {"error": str(e)})
             except Exception as e:   # noqa: BLE001 — a decode failure must
                 # reach the client as a 5xx, not a dropped connection + dead
                 # handler thread (ADVICE r3 serving.py:412)

@@ -155,7 +155,14 @@ def train(
               "step, or pixel-mode inputs)", file=sys.stderr)
 
     k_dispatch = max(1, cfg.train.steps_per_dispatch) if bank_mode else 1
+    if cfg.train.steps_per_dispatch > 1 and not bank_mode:
+        import sys
+        print("[vidcap] steps_per_dispatch ignored — multi-step dispatch "
+              "requires the device feature bank (--feature-bank, "
+              "feature-mode inputs, unsharded)", file=sys.stderr)
     chunk_fn = None   # k_dispatch-step lax.scan dispatch (bank mode only)
+    log_every = cfg.train.log_every   # 0 disables periodic rows (final-step
+    #   and eval rows still log), mirroring eval_every's contract
     if make_step is None:
         if cfg.train.stage in ("xe", "e2e"):
             if mesh is not None:
@@ -295,7 +302,8 @@ def train(
                 chunk_sps = k_dispatch / max(time.time() - t0, 1e-9)
                 for j in range(k_dispatch):
                     g = start + j + 1
-                    if g % cfg.train.log_every == 0 or g == num_steps:
+                    if (log_every > 0 and g % log_every == 0) \
+                            or g == num_steps:
                         row = {key: float(v[j])
                                for key, v in metrics.items()}
                         row["steps_per_sec"] = chunk_sps
@@ -328,14 +336,17 @@ def train(
             state, metrics = step_fn(state, dbatch)
             # step i dispatched (async) — overlap the next batch's transfer
             staged = pool.submit(stage_next) if i + 1 < num_steps else None
-            if (i + 1) % cfg.train.log_every == 0 or i + 1 == num_steps:
+            if (log_every > 0 and (i + 1) % log_every == 0) \
+                    or i + 1 == num_steps:
                 now = time.time()
                 sps = (i + 1 - s_last) / max(now - t_last, 1e-9)
                 t_last, s_last = now, i + 1
                 metrics = dict(metrics)
                 metrics["steps_per_sec"] = sps
                 logger.log(i + 1, metrics)
-            if (i + 1) % cfg.train.checkpoint_every == 0 or i + 1 == num_steps:
+            ckpt_every = cfg.train.checkpoint_every
+            if (ckpt_every > 0 and (i + 1) % ckpt_every == 0) \
+                    or i + 1 == num_steps:
                 ckpt.save(state, iter_state=it_state_consumed,
                           stage=cfg.train.stage)
             if eval_every > 0 and (i + 1) % eval_every == 0:

@@ -81,6 +81,38 @@ def make_xe_step(model: VidCapModel, cfg: Config
                    donate_argnums=(0,) if cfg.train.donate_state else ())
 
 
+def _build_banks(dataset, banks=None) -> Dict[str, Array]:
+    """Validate feature-mode inputs and place the whole feature/attribute
+    tensors in HBM once (shared by the K=1 and K>1 banked builders — the
+    banks must exist on-device exactly once)."""
+    feats = dataset.features
+    if feats.ndim != 3:
+        raise ValueError(
+            "device_feature_bank requires feature-mode inputs [N, T, D]; "
+            f"got ndim={feats.ndim} (pixel/e2e datasets are too large to "
+            "bank)")
+    if banks is None:
+        banks = {
+            "features": jax.device_put(jnp.asarray(feats)),
+            "attributes": jax.device_put(jnp.asarray(dataset.attributes)),
+        }
+    return banks
+
+
+def _banked_apply(body: Callable) -> Callable:
+    """Wrap an unjitted step body so features/attributes come from on-device
+    bank gathers by ``video_idx`` — the ONE place the bank-gather semantics
+    live, so the K=1 tail path and the K>1 scan body cannot diverge."""
+    def banked(state: TrainState, batch: Dict[str, Array],
+               bank_feats: Array, bank_attrs: Array):
+        b = dict(batch)
+        vidx = batch["video_idx"]
+        b["features"] = jnp.take(bank_feats, vidx, axis=0)
+        b["attributes"] = jnp.take(bank_attrs, vidx, axis=0)
+        return body(state, b)
+    return banked
+
+
 def make_banked_step(cfg: Config, body: Callable, dataset, banks=None
                      ) -> Tuple[Callable, Dict[str, Array]]:
     """Wrap an UNJITTED step body so features/attributes are gathered from a
@@ -95,25 +127,8 @@ def make_banked_step(cfg: Config, body: Callable, dataset, banks=None
 
     Returns ``(step_fn, banks)`` where ``step_fn(state, batch)`` closes over
     the device banks (they stay resident — no re-transfer per call)."""
-    feats = dataset.features
-    if feats.ndim != 3:
-        raise ValueError(
-            "device_feature_bank requires feature-mode inputs [N, T, D]; "
-            f"got ndim={feats.ndim} (pixel/e2e datasets are too large to bank)")
-    if banks is None:
-        banks = {
-            "features": jax.device_put(jnp.asarray(feats)),
-            "attributes": jax.device_put(jnp.asarray(dataset.attributes)),
-        }
-
-    def banked(state: TrainState, batch: Dict[str, Array],
-               bank_feats: Array, bank_attrs: Array):
-        b = dict(batch)
-        vidx = batch["video_idx"]
-        b["features"] = jnp.take(bank_feats, vidx, axis=0)
-        b["attributes"] = jnp.take(bank_attrs, vidx, axis=0)
-        return body(state, b)
-
+    banks = _build_banks(dataset, banks)
+    banked = _banked_apply(body)
     jitted = jax.jit(banked,
                      donate_argnums=(0,) if cfg.train.donate_state else ())
 
@@ -140,25 +155,13 @@ def make_banked_multistep(cfg: Config, body: Callable, dataset, k: int,
     ``step_fn(state, batches)`` takes ``batches`` stacked along a leading
     K axis; returns ``(state, metrics)`` with each metric leaf shaped [K]
     (per-step values, so logging granularity is preserved)."""
-    feats = dataset.features
-    if feats.ndim != 3:
-        raise ValueError(
-            "steps_per_dispatch>1 requires feature-mode inputs [N, T, D] "
-            f"(bank mode); got ndim={feats.ndim}")
-    if banks is None:
-        banks = {
-            "features": jax.device_put(jnp.asarray(feats)),
-            "attributes": jax.device_put(jnp.asarray(dataset.attributes)),
-        }
+    banks = _build_banks(dataset, banks)
+    banked = _banked_apply(body)
 
     def chunk(state: TrainState, batches: Dict[str, Array],
               bank_feats: Array, bank_attrs: Array):
         def one(s, b):
-            bb = dict(b)
-            vidx = b["video_idx"]
-            bb["features"] = jnp.take(bank_feats, vidx, axis=0)
-            bb["attributes"] = jnp.take(bank_attrs, vidx, axis=0)
-            return body(s, bb)
+            return banked(s, b, bank_feats, bank_attrs)
         return jax.lax.scan(one, state, batches)
 
     jitted = jax.jit(chunk,
