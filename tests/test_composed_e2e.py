@@ -182,3 +182,19 @@ def test_composed_preset_trains_on_pixels(tiny_cfg, tiny_backbone, tmp_path):
     assert dataset.features.ndim == 5
     state = train(cfg, dataset=dataset, num_steps=2)
     assert int(state.step) == 2
+
+
+def test_pixel_mode_caption_dataset(tiny_cfg, tiny_backbone):
+    """Periodic-eval path for e2e presets: Captioner.caption_dataset decodes
+    a PIXELS corpus ([N, T, S, S, 3] -> backbone encode inside the decode
+    graph). Guards the train-time maybe_eval route the composed staged demo
+    drives (the pixel TRAIN path alone doesn't cover it)."""
+    from vidcap_tpu.data.loader import CaptionDataset
+    from vidcap_tpu.inference import Captioner
+
+    cfg = _tiny_e2e_cfg(tiny_cfg)
+    dataset = CaptionDataset.synthetic(cfg.data, num_videos=6, pixels=True)
+    cap = Captioner.from_checkpoint(cfg, dataset, checkpoint_dir=None)
+    out = cap.caption_dataset(method="greedy", batch_size=4)
+    assert set(out) == set(dataset.video_ids)
+    assert all(isinstance(v[0], str) for v in out.values())
