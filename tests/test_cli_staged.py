@@ -128,3 +128,27 @@ def test_cli_serve_sharded(tmp_path):
     out_lines = [l for l in r.stdout.splitlines() if "\t" in l]
     assert len(out_lines) == 5, r.stdout
     assert "served 5 captions" in r.stderr
+
+
+@pytest.mark.slow
+def test_cli_train_sharded_feature_bank_parity(tmp_path):
+    """`train --sharded --feature-bank`: the replicated-bank sharded step is
+    reachable from the public CLI and reproduces the plain sharded run's
+    losses exactly (same seed, same stream, chip-local gathers)."""
+    def run(sub, extra):
+        d = tmp_path / sub
+        d.mkdir()
+        r = subprocess.run(
+            [sys.executable, "-m", "vidcap_tpu", "train",
+             "--preset", "synthetic_tiny", "--steps", "4", "--batch-size", "8",
+             "--stages", "xe,scst", "--log-file", "log.jsonl"] + extra,
+            cwd=d, env=_env(), capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, r.stderr[-1500:]
+        return [json.loads(l) for l in open(d / "log.jsonl")], r.stderr
+
+    rows_b, err_b = run("banked", ["--sharded", "--feature-bank"])
+    rows_p, _ = run("plain", ["--sharded"])
+    assert "device_feature_bank ignored" not in err_b
+    key_rows = [[(row["step"], row.get("xe_loss"), row.get("reward_sample"))
+                 for row in rows if "loss" in row] for rows in (rows_b, rows_p)]
+    assert key_rows[0] == key_rows[1]

@@ -133,3 +133,65 @@ def test_banked_rejects_pixel_mode(tiny_cfg):
                                   pixels=True)
     with pytest.raises(ValueError, match="feature-mode"):
         make_banked_step(tiny_cfg, lambda s, b: (s, {}), ds)
+
+
+def test_sharded_banked_step_matches_sharded(tiny_cfg, tiny_dataset):
+    """--feature-bank composes with --sharded: replicated HBM banks +
+    data-sharded token batches produce the SAME loss/params as the
+    non-banked sharded step (same rows, same order) on the 8-device mesh."""
+    from vidcap_tpu.parallel.mesh import make_mesh
+    from vidcap_tpu.parallel.sharding import (make_sharded_banked_step,
+                                              make_sharded_step, place_state,
+                                              shard_batch)
+
+    cfg = tiny_cfg
+    model = create_model(cfg, vocab_size=tiny_dataset.vocab.size)
+    mesh = make_mesh(cfg.mesh, num_data=8, num_model=1)
+    with mesh:
+        state_a = place_state(create_train_state(
+            cfg, init_params(model, cfg, jax.random.key(0))), mesh)
+        state_b = place_state(create_train_state(
+            cfg, init_params(model, cfg, jax.random.key(0))), mesh)
+        plain = make_sharded_step(cfg, mesh,
+                                  make_xe_step_body(model, cfg))
+        banked, banks = make_sharded_banked_step(
+            cfg, mesh, make_xe_step_body(model, cfg), tiny_dataset)
+        assert banks["features"].shape == tiny_dataset.features.shape
+
+        it = tiny_dataset.batches(16, seed=5)
+        for _ in range(2):
+            b = next(it)
+            state_a, m_a = plain(
+                state_a, shard_batch(batch_to_device_dict(b), mesh))
+            state_b, m_b = banked(
+                state_b,
+                shard_batch(batch_to_device_dict(b, bank_mode=True), mesh))
+            assert float(m_a["loss"]) == float(m_b["loss"])
+    assert _max_tree_delta(state_a.params, state_b.params) == 0.0
+
+
+def test_sharded_banked_scst_step_matches_sharded(tiny_cfg, tiny_dataset):
+    from vidcap_tpu.parallel.mesh import make_mesh
+    from vidcap_tpu.parallel.sharding import (make_sharded_banked_step,
+                                              make_sharded_step, place_state,
+                                              shard_batch)
+
+    cfg = dataclasses.replace(
+        tiny_cfg, train=dataclasses.replace(tiny_cfg.train, stage="scst",
+                                            donate_state=False))
+    model = create_model(cfg, vocab_size=tiny_dataset.vocab.size)
+    mesh = make_mesh(cfg.mesh, num_data=8, num_model=1)
+    with mesh:
+        state = place_state(create_train_state(
+            cfg, init_params(model, cfg, jax.random.key(0))), mesh)
+        plain = make_sharded_step(
+            cfg, mesh, make_scst_step_body(model, cfg, tiny_dataset))
+        banked, _ = make_sharded_banked_step(
+            cfg, mesh, make_scst_step_body(model, cfg, tiny_dataset),
+            tiny_dataset)
+        b = next(tiny_dataset.batches(16, seed=7))
+        _, m_a = plain(state, shard_batch(batch_to_device_dict(b), mesh))
+        _, m_b = banked(
+            state, shard_batch(batch_to_device_dict(b, bank_mode=True),
+                               mesh))
+        assert float(m_a["loss"]) == float(m_b["loss"])

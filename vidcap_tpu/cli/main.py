@@ -296,8 +296,9 @@ def main(argv=None) -> int:
                         "rows; the final step and evals still log)")
     t.add_argument("--feature-bank", action="store_true",
                    help="park the whole feature tensor in HBM once and gather "
-                        "rows on-device per step (feature-mode, single-device;"
-                        " cuts per-step host->device payload ~300x)")
+                        "rows on-device per step (feature-mode; composes "
+                        "with --sharded via replicated banks; cuts per-step "
+                        "host->device payload ~300x)")
     t.add_argument("--steps-per-dispatch", type=str, default=None,
                    help="with --feature-bank: lax.scan K steps per jitted "
                         "call, amortizing per-dispatch latency (same batch "

@@ -105,8 +105,9 @@ class TrainConfig:
     #   video_idx inside the jitted step — per-step host→device payload drops
     #   from ~10 MB (B=64 production dims) to the token rows (~30 KB).
     #   Bit-exact vs the host-transfer path (same f32 rows, same stream).
-    #   Feature-mode, single-device only; ignored for pixel/e2e inputs and
-    #   sharded training (features there are sharded along batch on the mesh).
+    #   Feature-mode only (ignored for pixel/e2e inputs). Composes with
+    #   sharded training: banks replicate across the mesh so every gather is
+    #   chip-local (parallel/sharding.make_sharded_banked_step).
     steps_per_dispatch: int = 1           # >1 (bank mode only): lax.scan K
     #   steps per jitted call — amortizes the per-dispatch host<->device
     #   round-trip that dominates once the bank removes the payload. Same

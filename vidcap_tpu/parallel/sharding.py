@@ -91,6 +91,43 @@ def make_sharded_step(cfg: Config, mesh: Mesh, base_step: Callable) -> Callable:
     return jax.jit(run, donate_argnums=(0,) if cfg.train.donate_state else ())
 
 
+def make_sharded_banked_step(cfg: Config, mesh: Mesh, body: Callable,
+                             dataset, banks=None):
+    """Sharded training with the device feature bank
+    (``--feature-bank --sharded``): the whole feature/attribute tensors are
+    REPLICATED across the mesh (one HBM copy per chip — e.g. 800 MB of a
+    16 GB v5e; replication keeps every gather chip-local, so no collectives
+    ride the gather), while the per-step token batch and ``video_idx`` shard
+    over the data axis. Each DP group gathers exactly its own batch rows
+    from its local bank copy; grads still psum over ICI as in
+    :func:`make_sharded_step`. Numerics match the non-banked sharded step
+    bit-for-bit (same rows, same order — tests/test_feature_bank.py).
+
+    Returns ``(step_fn, banks)`` like the single-device banked builders."""
+    from vidcap_tpu.train.steps import _banked_apply, _build_banks
+
+    repl = NamedSharding(mesh, P())
+    banks = _build_banks(dataset, banks, sharding=repl)
+    banked = _banked_apply(body)
+    batch_sh = NamedSharding(mesh, batch_spec())
+
+    def run(state: TrainState, batch: Dict[str, jax.Array],
+            bank_feats: jax.Array, bank_attrs: jax.Array):
+        batch = {k: jax.lax.with_sharding_constraint(v, batch_sh)
+                 for k, v in batch.items()}
+        bank_feats = jax.lax.with_sharding_constraint(bank_feats, repl)
+        bank_attrs = jax.lax.with_sharding_constraint(bank_attrs, repl)
+        return banked(state, batch, bank_feats, bank_attrs)
+
+    jitted = jax.jit(run, donate_argnums=(0,)
+                     if cfg.train.donate_state else ())
+
+    def step_fn(state: TrainState, batch: Dict[str, jax.Array]):
+        return jitted(state, batch, banks["features"], banks["attributes"])
+
+    return step_fn, banks
+
+
 def make_sharded_xe_step(model: VidCapModel, cfg: Config, mesh: Mesh,
                          base_step: Callable) -> Callable:
     """Back-compat name for :func:`make_sharded_step` (the wrapper is

@@ -144,51 +144,55 @@ def train(
             from vidcap_tpu.parallel.sharding import place_state
             state = place_state(state, mesh)
 
-    # Feature-bank mode: single-device, feature-mode inputs only (sharded
-    # training shards features along batch on the mesh; pixel datasets are
-    # too large to bank) — see config.TrainConfig.device_feature_bank.
-    bank_mode = (cfg.train.device_feature_bank and mesh is None
-                 and make_step is None and dataset.features.ndim == 3)
+    # Feature-bank mode: feature-mode inputs only (pixel datasets are too
+    # large to bank); composes with the mesh via replicated banks so every
+    # gather stays chip-local — see config.TrainConfig.device_feature_bank.
+    bank_mode = (cfg.train.device_feature_bank and make_step is None
+                 and dataset.features.ndim == 3)
     if cfg.train.device_feature_bank and not bank_mode:
         import sys
-        print("[vidcap] device_feature_bank ignored (sharded run, custom "
-              "step, or pixel-mode inputs)", file=sys.stderr)
+        print("[vidcap] device_feature_bank ignored (custom step or "
+              "pixel-mode inputs)", file=sys.stderr)
 
-    k_dispatch = max(1, cfg.train.steps_per_dispatch) if bank_mode else 1
-    if cfg.train.steps_per_dispatch > 1 and not bank_mode:
+    # multi-step dispatch is single-device only (the sharded path's chunk
+    # semantics aren't wired); sharded bank runs K=1
+    k_dispatch = (max(1, cfg.train.steps_per_dispatch)
+                  if bank_mode and mesh is None else 1)
+    if cfg.train.steps_per_dispatch > 1 and k_dispatch == 1:
         import sys
         print("[vidcap] steps_per_dispatch ignored — multi-step dispatch "
               "requires the device feature bank (--feature-bank, "
-              "feature-mode inputs, unsharded)", file=sys.stderr)
+              "feature-mode inputs) and a single device", file=sys.stderr)
     chunk_fn = None   # k_dispatch-step lax.scan dispatch (bank mode only)
     log_every = cfg.train.log_every   # 0 disables periodic rows (final-step
     #   and eval rows still log), mirroring eval_every's contract
     if make_step is None:
+        # every stage builds the same unjitted body; the wrapper (plain jit /
+        # sharded / banked / sharded+banked / K-step scan) is orthogonal
         if cfg.train.stage in ("xe", "e2e"):
-            if mesh is not None:
-                from vidcap_tpu.parallel.sharding import make_sharded_step
-                from vidcap_tpu.train.steps import make_xe_step_body
-                step_fn = make_sharded_step(
-                    cfg, mesh, make_xe_step_body(model, cfg))
-            elif bank_mode:
-                from vidcap_tpu.train.steps import make_xe_step_body
+            from vidcap_tpu.train.steps import make_xe_step_body
+            if mesh is not None or bank_mode:
                 body = make_xe_step_body(model, cfg)
             else:
                 step_fn = make_xe_step(model, cfg)
         elif cfg.train.stage == "scst":
             from vidcap_tpu.train.scst import (make_scst_step,
                                                make_scst_step_body)
-            if mesh is not None:
-                from vidcap_tpu.parallel.sharding import make_sharded_step
-                step_fn = make_sharded_step(
-                    cfg, mesh, make_scst_step_body(model, cfg, dataset))
-            elif bank_mode:
+            if mesh is not None or bank_mode:
                 body = make_scst_step_body(model, cfg, dataset)
             else:
                 step_fn = make_scst_step(model, cfg, dataset)
         else:
             raise ValueError(f"unknown stage {cfg.train.stage!r}")
-        if bank_mode:
+        if mesh is not None:
+            from vidcap_tpu.parallel.sharding import (
+                make_sharded_banked_step, make_sharded_step)
+            if bank_mode:
+                step_fn, _ = make_sharded_banked_step(cfg, mesh, body,
+                                                      dataset)
+            else:
+                step_fn = make_sharded_step(cfg, mesh, body)
+        elif bank_mode:
             from vidcap_tpu.train.steps import (make_banked_multistep,
                                                 make_banked_step)
             if k_dispatch > 1:

@@ -81,10 +81,11 @@ def make_xe_step(model: VidCapModel, cfg: Config
                    donate_argnums=(0,) if cfg.train.donate_state else ())
 
 
-def _build_banks(dataset, banks=None) -> Dict[str, Array]:
+def _build_banks(dataset, banks=None, sharding=None) -> Dict[str, Array]:
     """Validate feature-mode inputs and place the whole feature/attribute
-    tensors in HBM once (shared by the K=1 and K>1 banked builders — the
-    banks must exist on-device exactly once)."""
+    tensors in HBM once (shared by the K=1, K>1, and sharded banked
+    builders — the banks must exist on-device exactly once). ``sharding``
+    places them on a mesh (replicated, for the sharded path)."""
     feats = dataset.features
     if feats.ndim != 3:
         raise ValueError(
@@ -92,9 +93,11 @@ def _build_banks(dataset, banks=None) -> Dict[str, Array]:
             f"got ndim={feats.ndim} (pixel/e2e datasets are too large to "
             "bank)")
     if banks is None:
+        put = (jax.device_put if sharding is None
+               else lambda x: jax.device_put(x, sharding))
         banks = {
-            "features": jax.device_put(jnp.asarray(feats)),
-            "attributes": jax.device_put(jnp.asarray(dataset.attributes)),
+            "features": put(jnp.asarray(feats)),
+            "attributes": put(jnp.asarray(dataset.attributes)),
         }
     return banks
 
