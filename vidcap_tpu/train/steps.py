@@ -11,6 +11,7 @@ from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vidcap_tpu.config import Config
 from vidcap_tpu.models.model import VidCapModel
@@ -92,13 +93,22 @@ def _build_banks(dataset, banks=None, sharding=None) -> Dict[str, Array]:
             "device_feature_bank requires feature-mode inputs [N, T, D]; "
             f"got ndim={feats.ndim} (pixel/e2e datasets are too large to "
             "bank)")
+    put = (jax.device_put if sharding is None
+           else lambda x: jax.device_put(x, sharding))
     if banks is None:
-        put = (jax.device_put if sharding is None
-               else lambda x: jax.device_put(x, sharding))
+        # device_put the HOST arrays directly — staging through jnp.asarray
+        # first would copy the full bank to the default device and then
+        # re-place it (an extra ~800 MB transfer + transient chip-0 copy at
+        # production dims)
         banks = {
-            "features": put(jnp.asarray(feats)),
-            "attributes": put(jnp.asarray(dataset.attributes)),
+            "features": put(np.asarray(feats)),
+            "attributes": put(np.asarray(dataset.attributes)),
         }
+    elif sharding is not None:
+        # pre-built (e.g. single-device) banks handed to the sharded
+        # builder must still end up replicated, or every step implicitly
+        # re-shards the full bank
+        banks = {k: put(v) for k, v in banks.items()}
     return banks
 
 
