@@ -19,7 +19,14 @@ import json
 import sys
 from typing import Optional
 
-from vidcap_tpu.config import Config, get_preset
+from vidcap_tpu.config import Config, apply_overrides, get_preset
+
+
+def _preset(args) -> Config:
+    """Preset + generic ``--set section.field=value`` overrides (every
+    subcommand accepts them — config.apply_overrides)."""
+    return apply_overrides(get_preset(args.preset),
+                           getattr(args, "set", None))
 
 
 def _load_dataset(cfg: Config, split: str = "train"):
@@ -53,7 +60,7 @@ def _load_dataset(cfg: Config, split: str = "train"):
 def cmd_train(args) -> int:
     from vidcap_tpu.parallel.distributed import initialize_multihost
     initialize_multihost()
-    cfg = get_preset(args.preset)
+    cfg = _preset(args)
     # --steps accepts one count for every stage or a comma list matched to
     # --stages (e.g. --stages xe,scst --steps 2500,1000)
     per_stage_steps = None
@@ -162,7 +169,7 @@ def _decode_split(cfg: Config, method: str, beam: int, temperature: float,
 
 
 def cmd_caption(args) -> int:
-    cfg = get_preset(args.preset)
+    cfg = _preset(args)
     method = args.method or cfg.decode.method
     _decode_split(cfg, method, args.beam or cfg.decode.beam_width,
                   args.temperature, args.checkpoint_dir, args.out,
@@ -171,14 +178,14 @@ def cmd_caption(args) -> int:
 
 
 def cmd_sample(args) -> int:
-    cfg = get_preset(args.preset)
+    cfg = _preset(args)
     _decode_split(cfg, "sample", cfg.decode.beam_width, args.temperature,
                   args.checkpoint_dir, args.out, seed=args.seed)
     return 0
 
 
 def cmd_eval(args) -> int:
-    cfg = get_preset(args.preset)
+    cfg = _preset(args)
     dataset = _load_dataset(cfg, split="test")
     with open(args.captions) as f:
         results = json.load(f)
@@ -191,14 +198,14 @@ def cmd_eval(args) -> int:
 
 
 def cmd_extract(args) -> int:
-    cfg = get_preset(args.preset)
+    cfg = _preset(args)
     from vidcap_tpu.data.frames import extract_features_for_dir
     extract_features_for_dir(cfg, args.videos, args.split)
     return 0
 
 
 def cmd_prepare(args) -> int:
-    cfg = get_preset(args.preset)
+    cfg = _preset(args)
     from vidcap_tpu.data.prepare import prepare
     prepare(cfg.data, args.annotations, mapping=args.mapping)
     return 0
@@ -206,7 +213,7 @@ def cmd_prepare(args) -> int:
 
 def cmd_convert(args) -> int:
     from vidcap_tpu.convert import convert_irv2_checkpoint_to_npz
-    cfg = get_preset(args.preset)
+    cfg = _preset(args)
     out = convert_irv2_checkpoint_to_npz(args.tf_checkpoint, args.out,
                                          frame_size=cfg.data.frame_size)
     print(f"[vidcap] wrote converted backbone weights → {out}",
@@ -230,7 +237,7 @@ def _serving_mesh(cfg, sharded: bool):
 
 
 def cmd_serve(args) -> int:
-    cfg = get_preset(args.preset)
+    cfg = _preset(args)
     from vidcap_tpu.inference import Captioner
     from vidcap_tpu.serving import CaptionServer
     dataset = _load_dataset(cfg, split="train")   # supplies the vocab
@@ -266,15 +273,18 @@ def cmd_serve(args) -> int:
     return 0
 
 
-def main(argv=None) -> int:
-    from vidcap_tpu.utils.compilation_cache import enable_compilation_cache
-    enable_compilation_cache()
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="vidcap_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp):
         sp.add_argument("--preset", default="msvd_greedy")
         sp.add_argument("--checkpoint-dir", default=None)
+        sp.add_argument("--set", action="append", default=None,
+                        metavar="SECTION.FIELD=VALUE",
+                        help="override any config field, repeatable "
+                             "(e.g. --set train.learning_rate=1e-4 "
+                             "--set decode.beam_width=3)")
 
     t = sub.add_parser("train", help="run the preset's training stage(s)")
     common(t)
@@ -385,8 +395,13 @@ def main(argv=None) -> int:
                     help="bound on queued HTTP requests before 429 "
                          "(default 4×batch)")
     sv.set_defaults(fn=cmd_serve)
+    return p
 
-    args = p.parse_args(argv)
+
+def main(argv=None) -> int:
+    from vidcap_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
+    args = build_parser().parse_args(argv)
     try:
         return args.fn(args)
     except KeyError as e:

@@ -241,3 +241,53 @@ def get_preset(name: str) -> Config:
     if name not in PRESETS:
         raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")
     return PRESETS[name]
+
+
+def apply_overrides(cfg: Config, overrides) -> Config:
+    """Generic dotted-path config overrides (SURVEY.md §5 config system:
+    "frozen dataclass config tree, CLI overrides"): each item is
+    ``section.field=value`` (e.g. ``train.learning_rate=1e-4``,
+    ``decode.beam_width=3``, ``model.use_attention=false``). The value is
+    coerced to the type of the field's CURRENT value — bools accept
+    true/false/1/0; ``null``/``none`` sets None; fields currently None are
+    parsed as JSON when possible, else kept as strings."""
+    import json as _json
+
+    for item in overrides or ():
+        path, eq, raw = str(item).partition("=")
+        parts = path.split(".")
+        if not eq or len(parts) != 2 or not all(parts):
+            raise ValueError(
+                f"bad override {item!r} — expected section.field=value")
+        section, field = parts
+        if not hasattr(cfg, section) or section == "name":
+            raise ValueError(f"unknown config section {section!r}")
+        sub = getattr(cfg, section)
+        if not hasattr(sub, field):
+            raise ValueError(
+                f"unknown field {field!r} in config section {section!r}")
+        cur = getattr(sub, field)
+        low = raw.strip().lower()
+        if low in ("null", "none"):
+            val = None
+        elif isinstance(cur, bool):
+            if low in ("true", "1", "yes"):
+                val = True
+            elif low in ("false", "0", "no"):
+                val = False
+            else:
+                raise ValueError(f"bad bool for {path}: {raw!r}")
+        elif isinstance(cur, int):
+            val = int(raw)
+        elif isinstance(cur, float):
+            val = float(raw)
+        elif isinstance(cur, str):
+            val = raw
+        else:
+            try:
+                val = _json.loads(raw)
+            except _json.JSONDecodeError:
+                val = raw
+        cfg = dataclasses.replace(
+            cfg, **{section: dataclasses.replace(sub, **{field: val})})
+    return cfg
