@@ -184,6 +184,42 @@ def test_composed_preset_trains_on_pixels(tiny_cfg, tiny_backbone, tmp_path):
     assert int(state.step) == 2
 
 
+@pytest.mark.slow
+def test_composed_step_sharded_matches_single_device(tiny_cfg, tiny_dataset,
+                                                     tiny_backbone):
+    """The COMPOSED flagship step (pixels → shared encode → PG + attr + XE
+    anchor) under `make_sharded_step` on the 8-way DP mesh computes the SAME
+    loss as the single-device step: the namesake configuration is covered on
+    the multi-chip path in CI, not only in the driver dryrun artifact."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from vidcap_tpu.parallel.mesh import make_mesh
+    from vidcap_tpu.parallel.sharding import (make_sharded_step, place_state,
+                                              shard_batch)
+
+    cfg = _tiny_e2e_cfg(tiny_cfg, attribute_loss_weight=0.2, scst_xe_mix=0.1)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, batch_size=8))
+    model = create_model(cfg, vocab_size=tiny_dataset.vocab.size)
+    params = init_params(model, cfg, jax.random.key(0))
+    tables = tables_from_dataset(tiny_dataset)
+    batch = _pixel_batch(cfg, tiny_dataset, B=8)
+
+    step1 = make_scst_step(model, cfg, tables=tables)
+    _, m1 = step1(create_train_state(cfg, params), batch)
+
+    mesh = make_mesh(cfg.mesh, num_data=8, num_model=1)
+    with mesh:
+        state8 = place_state(create_train_state(cfg, params), mesh)
+        step8 = make_sharded_step(
+            cfg, mesh, make_scst_step_body(model, cfg, tables=tables))
+        _, m8 = step8(state8, shard_batch(batch, mesh))
+
+    for k in ("loss", "attr_loss", "xe_anchor", "reward_sample"):
+        np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=1e-4,
+                                   err_msg=k)
+
+
 def test_pixel_mode_caption_dataset(tiny_cfg, tiny_backbone):
     """Periodic-eval path for e2e presets: Captioner.caption_dataset decodes
     a PIXELS corpus ([N, T, S, S, 3] -> backbone encode inside the decode

@@ -1,0 +1,84 @@
+"""AOT export (vidcap_tpu/export.py): the serialized StableHLO artifact must
+compute EXACTLY what live serving computes (same builder — Captioner.
+build_decode_fn), be self-contained (weights + vocab baked in), and survive a
+full serialize → disk → deserialize round trip."""
+import numpy as np
+import pytest
+
+from vidcap_tpu.export import ExportedCaptioner, export_decoder
+from vidcap_tpu.inference import Captioner
+
+
+@pytest.fixture()
+def captioner(tiny_cfg, tiny_dataset):
+    return Captioner.from_checkpoint(tiny_cfg, tiny_dataset,
+                                     checkpoint_dir=None)
+
+
+def _feats(cfg, n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n, cfg.data.num_frames, cfg.data.feature_dim)
+                      ).astype(np.float32)
+
+
+@pytest.mark.parametrize("method", ["greedy", "beam"])
+def test_export_round_trip_token_parity(tiny_cfg, captioner, tmp_path, method):
+    feats = _feats(tiny_cfg, 8)
+    live = captioner.decode_batch(feats, method=method, beam_width=3)
+
+    meta = export_decoder(captioner, str(tmp_path / "exp"), batch_size=8,
+                          method=method, beam_width=3)
+    assert meta["schema"] == 1 and meta["batch_size"] == 8
+    ec = ExportedCaptioner.load(str(tmp_path / "exp"))
+    np.testing.assert_array_equal(np.asarray(ec.decode_batch(feats)),
+                                  np.asarray(live))
+    # vocab shipped inside the artifact: strings decode without the dataset
+    caps = ec.caption(feats)
+    assert len(caps) == 8 and all(isinstance(c, str) for c in caps)
+
+
+def test_export_partial_batch_and_chunking(tiny_cfg, captioner, tmp_path):
+    export_decoder(captioner, str(tmp_path / "exp"), batch_size=4,
+                   method="greedy")
+    ec = ExportedCaptioner.load(str(tmp_path / "exp"))
+
+    feats = _feats(tiny_cfg, 3, seed=1)          # N < B: zero-pad + mask
+    live = captioner.decode_batch(
+        np.concatenate([feats, np.zeros_like(feats[:1])]), method="greedy",
+        frame_mask=np.concatenate(
+            [np.ones((3, tiny_cfg.data.num_frames), np.float32),
+             np.zeros((1, tiny_cfg.data.num_frames), np.float32)]))[:3]
+    np.testing.assert_array_equal(ec.decode_batch(feats), np.asarray(live))
+
+    caps = ec.caption(_feats(tiny_cfg, 10, seed=2))   # N > B: chunked
+    assert len(caps) == 10
+
+    with pytest.raises(ValueError):
+        ec.decode_batch(_feats(tiny_cfg, 5))     # > B without chunking
+    with pytest.raises(ValueError):              # wrong feature dims
+        ec.decode_batch(np.zeros((2, tiny_cfg.data.num_frames, 7), np.float32))
+
+
+def test_export_rejects_sample_and_pixels(tiny_cfg, captioner, tmp_path):
+    with pytest.raises(ValueError):
+        export_decoder(captioner, str(tmp_path / "e1"), method="sample")
+
+
+def test_export_cli_round_trip(tmp_path, monkeypatch, capsys):
+    """`vidcap_tpu export` then `caption --from-export`: the deployable unit
+    works end-to-end through the public CLI (synthetic fixture, in-process)."""
+    from vidcap_tpu.cli.main import build_parser
+    p = build_parser()
+    exp_dir = str(tmp_path / "artifact")
+    a = p.parse_args(["export", "--preset", "synthetic_tiny",
+                      "--out", exp_dir, "--batch", "8",
+                      "--method", "greedy"])
+    assert a.fn(a) == 0
+    out_json = str(tmp_path / "caps.json")
+    a = p.parse_args(["caption", "--preset", "synthetic_tiny",
+                      "--from-export", exp_dir, "--out", out_json])
+    assert a.fn(a) == 0
+    import json
+    with open(out_json) as f:
+        results = json.load(f)
+    assert results and all(isinstance(v, list) for v in results.values())

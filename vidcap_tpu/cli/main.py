@@ -170,10 +170,48 @@ def _decode_split(cfg: Config, method: str, beam: int, temperature: float,
 
 def cmd_caption(args) -> int:
     cfg = _preset(args)
+    if getattr(args, "from_export", None):
+        # AOT path: no model build, no checkpoint restore — deserialize the
+        # export artifact and decode the split with its baked-in weights
+        import numpy as np
+        from vidcap_tpu.export import ExportedCaptioner
+        dataset = _load_dataset(cfg, split="test")
+        ec = ExportedCaptioner.load(args.from_export)
+        caps = ec.caption(np.asarray(dataset.features, np.float32))
+        results = {vid: [c] for vid, c in zip(dataset.video_ids, caps)}
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=1)
+            print(f"[vidcap] wrote {len(results)} captions → {args.out}",
+                  file=sys.stderr)
+        else:
+            for vid, c in list(results.items())[:20]:
+                print(f"{vid}\t{c[0]}")
+        return 0
     method = args.method or cfg.decode.method
     _decode_split(cfg, method, args.beam or cfg.decode.beam_width,
                   args.temperature, args.checkpoint_dir, args.out,
                   seed=getattr(args, "seed", None))
+    return 0
+
+
+def cmd_export(args) -> int:
+    """Serialize the preset's decode (weights baked in) to a deployable AOT
+    artifact directory — see vidcap_tpu/export.py."""
+    cfg = _preset(args)
+    from vidcap_tpu.export import export_decoder
+    from vidcap_tpu.inference import Captioner
+    dataset = _load_dataset(cfg, split="train")   # supplies the vocab
+    cap = Captioner.from_checkpoint(
+        cfg, dataset, args.checkpoint_dir or cfg.train.checkpoint_dir)
+    meta = export_decoder(
+        cap, args.out, batch_size=args.batch,
+        method=args.method or cfg.decode.method,
+        beam_width=args.beam or cfg.decode.beam_width,
+        platforms=(args.platforms.split(",") if args.platforms else None))
+    print(f"[vidcap] exported {meta['method']} decoder "
+          f"(B={meta['batch_size']}, platforms={meta['platforms']}) "
+          f"→ {args.out}", file=sys.stderr)
     return 0
 
 
@@ -328,7 +366,24 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--out", default=None)
     c.add_argument("--seed", type=int, default=None,
                    help="reproducible sampling seed (method=sample)")
+    c.add_argument("--from-export", default=None, metavar="DIR",
+                   help="decode via an AOT export artifact (see `export`) "
+                        "instead of building the model from a checkpoint")
     c.set_defaults(fn=cmd_caption)
+
+    ax = sub.add_parser(
+        "export", help="serialize an AOT decode artifact (jax.export): "
+                       "weights + vocab + StableHLO, no checkpoint at load")
+    common(ax)
+    ax.add_argument("--out", required=True, help="artifact directory")
+    ax.add_argument("--batch", type=int, default=32,
+                    help="fixed batch size baked into the graph")
+    ax.add_argument("--method", choices=["greedy", "beam"], default=None)
+    ax.add_argument("--beam", type=int, default=None)
+    ax.add_argument("--platforms", default=None,
+                    help="comma-separated lowering targets, e.g. tpu,cpu "
+                         "(default: the current backend)")
+    ax.set_defaults(fn=cmd_export)
 
     s = sub.add_parser("sample", help="multinomial-sampling decode")
     common(s)

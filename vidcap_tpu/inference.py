@@ -89,6 +89,79 @@ class Captioner:
                                       self._sample_calls)
         return jax.random.key(int(time.time_ns() % (1 << 31)))
 
+    def build_decode_fn(self, method: str, batch_size: int,
+                        beam_width: int = 5, temperature: float = 1.0):
+        """Jitted XLA decode for a fixed batch shape, with params as an
+        argument: ``fn(params, feats, mask)`` (greedy/beam) or
+        ``fn(params, feats, mask, rng)`` (sample) → token ids i32[B, L].
+
+        This is the single source of the decode graph — ``decode_batch``
+        dispatches it and ``vidcap_tpu.export`` serializes it (jax.export);
+        keeping one builder guarantees the exported artifact computes
+        exactly what live serving computes. Pallas/sharded routes stay in
+        ``decode_batch`` (not portable across backends)."""
+        B = batch_size
+        if method == "greedy":
+            ee = self.cfg.decode.early_exit
+            # tokens-only serving: bf16 logits (argmax exact on the
+            # bf16-rounded Dense output) and no log_softmax
+            bf16 = self.cfg.model.compute_dtype == "bfloat16"
+            return jax.jit(
+                lambda p, f, m: greedy_decode(
+                    self._step_fn(p, keep_compute_dtype=bf16),
+                    self.model.apply({"params": p}, f, m,
+                                     method=VidCapModel.init_state),
+                    B, self.max_len, early_exit=ee,
+                    with_logp=False).tokens)
+
+        if method == "sample":
+            return jax.jit(
+                lambda p, f, m, k: sample_decode(
+                    self._step_fn(p),
+                    self.model.apply({"params": p}, f, m,
+                                     method=VidCapModel.init_state),
+                    B, self.max_len, k, temperature).tokens)
+
+        if method == "beam":
+            K = beam_width
+            pv = max(self.cfg.data.padded_vocab,
+                     ((self.dataset.vocab.size + 127) // 128) * 128)
+
+            def decode(p, f, m):
+                from vidcap_tpu.models.decoding import tile_recurrent
+                state = self.model.apply({"params": p}, f, m,
+                                         method=VidCapModel.init_state)
+                state = tile_recurrent(state, K)
+
+                # bf16-stored logits: bit-identical beams (Dense output is
+                # bf16-rounded either way), half the top-k sweep traffic
+                bf16 = self.cfg.model.compute_dtype == "bfloat16"
+
+                def beam_step(st, tok):
+                    return self.model.apply(
+                        {"params": p}, st, tok, K, bf16,
+                        method=VidCapModel.step_beam)
+
+                from vidcap_tpu.models.decoding import use_finished_pool
+                lp = self.cfg.decode.length_penalty
+                if use_finished_pool(self.cfg.decode):
+                    from vidcap_tpu.models.decoding import beam_decode_pool
+                    toks, _ = beam_decode_pool(
+                        beam_step, state, batch=B,
+                        max_len=self.max_len, beam_width=K, vocab_size=pv,
+                        length_penalty=lp,
+                        early_exit=self.cfg.decode.early_exit)
+                else:
+                    toks, _ = beam_decode(
+                        beam_step, state, batch=B,
+                        max_len=self.max_len, beam_width=K, vocab_size=pv,
+                        length_penalty=lp,
+                        early_exit=self.cfg.decode.early_exit)
+                return toks
+            return jax.jit(decode)
+
+        raise ValueError(f"unknown decode method {method!r}")
+
     def decode_batch(self, feats: np.ndarray, method: str = "greedy",
                      beam_width: int = 5, temperature: float = 1.0,
                      rng: Optional[jax.Array] = None,
@@ -133,17 +206,8 @@ class Captioner:
                         self.model, p, f, max_len=self.max_len,
                         frame_mask=m).tokens))
                 return np.asarray(fn(self.params, feats, mask))
-            ee = self.cfg.decode.early_exit
-            # tokens-only serving: bf16 logits (argmax exact on the
-            # bf16-rounded Dense output) and no log_softmax
-            bf16 = self.cfg.model.compute_dtype == "bfloat16"
-            fn = self._get(("greedy", B, ee), lambda: jax.jit(
-                lambda p, f, m: greedy_decode(
-                    self._step_fn(p, keep_compute_dtype=bf16),
-                    self.model.apply({"params": p}, f, m,
-                                     method=VidCapModel.init_state),
-                    B, self.max_len, early_exit=ee,
-                    with_logp=False).tokens))
+            fn = self._get(("greedy", B, self.cfg.decode.early_exit),
+                           lambda: self.build_decode_fn("greedy", B))
             return np.asarray(fn(self.params, feats, mask))
 
         if method == "sample":
@@ -165,55 +229,16 @@ class Captioner:
                 else:
                     seed = jnp.int32(time.time_ns() % (1 << 31))
                 return np.asarray(fn(self.params, feats, mask, seed))
-            fn = self._get(("sample", B, temperature), lambda: jax.jit(
-                lambda p, f, m, k: sample_decode(
-                    self._step_fn(p),
-                    self.model.apply({"params": p}, f, m,
-                                     method=VidCapModel.init_state),
-                    B, self.max_len, k, temperature).tokens))
+            fn = self._get(("sample", B, temperature),
+                           lambda: self.build_decode_fn(
+                               "sample", B, temperature=temperature))
             rng = rng if rng is not None else self._next_sample_rng()
             return np.asarray(fn(self.params, feats, mask, rng))
 
         if method == "beam":
-            K = beam_width
-            pv = max(self.cfg.data.padded_vocab,
-                     ((self.dataset.vocab.size + 127) // 128) * 128)
-
-            def build():
-                def decode(p, f, m):
-                    from vidcap_tpu.models.decoding import tile_recurrent
-                    state = self.model.apply({"params": p}, f, m,
-                                             method=VidCapModel.init_state)
-                    state = tile_recurrent(state, K)
-
-                    # bf16-stored logits: bit-identical beams (Dense output is
-                    # bf16-rounded either way), half the top-k sweep traffic
-                    bf16 = self.cfg.model.compute_dtype == "bfloat16"
-
-                    def beam_step(st, tok):
-                        return self.model.apply(
-                            {"params": p}, st, tok, K, bf16,
-                            method=VidCapModel.step_beam)
-
-                    from vidcap_tpu.models.decoding import use_finished_pool
-                    lp = self.cfg.decode.length_penalty
-                    if use_finished_pool(self.cfg.decode):
-                        from vidcap_tpu.models.decoding import beam_decode_pool
-                        toks, _ = beam_decode_pool(
-                            beam_step, state, batch=B,
-                            max_len=self.max_len, beam_width=K, vocab_size=pv,
-                            length_penalty=lp,
-                            early_exit=self.cfg.decode.early_exit)
-                    else:
-                        toks, _ = beam_decode(
-                            beam_step, state, batch=B,
-                            max_len=self.max_len, beam_width=K, vocab_size=pv,
-                            length_penalty=lp,
-                            early_exit=self.cfg.decode.early_exit)
-                    return toks
-                return jax.jit(decode)
-
-            fn = self._get(("beam", B, K), build)
+            fn = self._get(("beam", B, beam_width),
+                           lambda: self.build_decode_fn(
+                               "beam", B, beam_width=beam_width))
             return np.asarray(fn(self.params, feats, mask))
 
         raise ValueError(f"unknown decode method {method!r}")
