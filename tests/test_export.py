@@ -64,6 +64,44 @@ def test_export_rejects_sample_and_pixels(tiny_cfg, captioner, tmp_path):
         export_decoder(captioner, str(tmp_path / "e1"), method="sample")
 
 
+def test_serve_from_export_artifact(tiny_cfg, captioner, tmp_path):
+    """CaptionServer runs off an ExportedCaptioner (serve --from-export):
+    same captions as serving the live checkpointed model, and a method
+    mismatch is an error, not a silent wrong-method decode."""
+    import io
+    from vidcap_tpu.serving import CaptionServer
+
+    export_decoder(captioner, str(tmp_path / "exp"), batch_size=4,
+                   method="greedy")
+    ec = ExportedCaptioner.load(str(tmp_path / "exp"))
+    ec.check_config(tiny_cfg)
+
+    paths = []
+    rng = np.random.default_rng(3)
+    for i in range(5):                       # 1¼ batches: flush + partial
+        p = tmp_path / f"f{i}.npy"
+        np.save(p, rng.normal(size=(tiny_cfg.data.num_frames,
+                                    tiny_cfg.data.feature_dim)
+                              ).astype(np.float32))
+        paths.append(str(p))
+    inp = "\n".join(paths) + "\n"
+
+    out_live, out_exp = io.StringIO(), io.StringIO()
+    CaptionServer(tiny_cfg, captioner, batch_size=4).run(
+        inp=io.StringIO(inp), out=out_live)
+    CaptionServer(tiny_cfg, ec, batch_size=4, method="greedy").run(
+        inp=io.StringIO(inp), out=out_exp)
+    assert out_exp.getvalue() == out_live.getvalue()
+
+    with pytest.raises(ValueError):
+        ec.decode_batch(_feats(tiny_cfg, 2), method="beam")
+    import dataclasses
+    bad = dataclasses.replace(
+        tiny_cfg, data=dataclasses.replace(tiny_cfg.data, feature_dim=7))
+    with pytest.raises(ValueError):
+        ec.check_config(bad)
+
+
 def test_export_cli_round_trip(tmp_path, monkeypatch, capsys):
     """`vidcap_tpu export` then `caption --from-export`: the deployable unit
     works end-to-end through the public CLI (synthetic fixture, in-process)."""

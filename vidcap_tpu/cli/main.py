@@ -276,14 +276,28 @@ def _serving_mesh(cfg, sharded: bool):
 
 def cmd_serve(args) -> int:
     cfg = _preset(args)
-    from vidcap_tpu.inference import Captioner
     from vidcap_tpu.serving import CaptionServer
-    dataset = _load_dataset(cfg, split="train")   # supplies the vocab
-    cap = Captioner.from_checkpoint(
-        cfg, dataset, args.checkpoint_dir or cfg.train.checkpoint_dir,
-        seed=args.seed, mesh=_serving_mesh(cfg, args.sharded))
-    method = args.method or cfg.decode.method
-    beam = args.beam or cfg.decode.beam_width
+    if getattr(args, "from_export", None):
+        # AOT path: the artifact IS the model — decode method/beam/batch are
+        # frozen in its graph, so they come from meta, not flags.
+        if args.sharded:
+            raise SystemExit("--from-export artifacts are single-device "
+                             "graphs; --sharded requires a checkpoint")
+        from vidcap_tpu.export import ExportedCaptioner
+        cap = ExportedCaptioner.load(args.from_export)
+        cap.check_config(cfg)
+        method, beam = cap.meta["method"], cap.meta["beam_width"] or 5
+        args.batch = cap.batch_size
+        print(f"[vidcap] serving from export artifact ({method}, "
+              f"B={cap.batch_size})", file=sys.stderr)
+    else:
+        from vidcap_tpu.inference import Captioner
+        dataset = _load_dataset(cfg, split="train")   # supplies the vocab
+        cap = Captioner.from_checkpoint(
+            cfg, dataset, args.checkpoint_dir or cfg.train.checkpoint_dir,
+            seed=args.seed, mesh=_serving_mesh(cfg, args.sharded))
+        method = args.method or cfg.decode.method
+        beam = args.beam or cfg.decode.beam_width
     if args.http is not None:
         from vidcap_tpu.serving import make_http_server
         server, svc = make_http_server(
@@ -431,6 +445,9 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--batch", type=int, default=32)
     sv.add_argument("--seed", type=int, default=None,
                     help="reproducible sampling seed (method=sample)")
+    sv.add_argument("--from-export", default=None, metavar="DIR",
+                    help="serve an AOT export artifact (see `export`): no "
+                         "checkpoint; method/beam/batch come from its meta")
     sv.add_argument("--sharded", action="store_true",
                     help="decode over all visible chips (GSPMD data sharding)")
     sv.add_argument("--max-wait-ms", type=float, default=None,

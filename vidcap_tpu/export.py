@@ -89,6 +89,13 @@ def export_decoder(captioner, out_dir: str, *, batch_size: int = 32,
     return meta
 
 
+class _VocabOnly:
+    """Minimal stand-in for CaptionDataset: serving only reads ``.vocab``."""
+
+    def __init__(self, vocab: Vocab):
+        self.vocab = vocab
+
+
 class ExportedCaptioner:
     """Run a `export_decoder` artifact: features → caption strings.
 
@@ -104,6 +111,19 @@ class ExportedCaptioner:
         self.batch_size = int(meta["batch_size"])
         self.num_frames = int(meta["num_frames"])
         self.feature_dim = int(meta["feature_dim"])
+        # Duck-types the one Dataset attribute the serving stack touches
+        # (captioner.dataset.vocab) so CaptionServer / BatchingCaptioner can
+        # run off an artifact with no checkpoint or dataset build.
+        self.dataset = _VocabOnly(vocab)
+
+    def check_config(self, cfg: Config) -> None:
+        """Raise if ``cfg``'s feature shape disagrees with the artifact's —
+        the serving pad/mask path sizes batches from the config."""
+        want = (cfg.data.num_frames, cfg.data.feature_dim)
+        have = (self.num_frames, self.feature_dim)
+        if want != have:
+            raise ValueError(f"preset expects features {want}, artifact was "
+                             f"exported for {have}")
 
     @classmethod
     def load(cls, export_dir: str) -> "ExportedCaptioner":
@@ -119,9 +139,22 @@ class ExportedCaptioner:
 
     # ------------------------------------------------------------ decoding
 
-    def decode_batch(self, feats: np.ndarray,
+    def decode_batch(self, feats: np.ndarray, method: Optional[str] = None,
+                     beam_width: Optional[int] = None,
                      frame_mask: Optional[np.ndarray] = None) -> np.ndarray:
-        """feats f32[N, T, D] (N ≤ exported batch) → token ids i32[N, L]."""
+        """feats f32[N, T, D] (N ≤ exported batch) → token ids i32[N, L].
+
+        ``method``/``beam_width`` exist for serving-stack compatibility
+        (CaptionServer passes them through): the graph is frozen at export
+        time, so they are VALIDATED against the artifact, not honored —
+        a mismatch is an error, not a silent wrong-method decode."""
+        if method is not None and method != self.meta["method"]:
+            raise ValueError(f"artifact was exported with method="
+                             f"{self.meta['method']!r}, not {method!r}")
+        if (self.meta["method"] == "beam" and beam_width is not None
+                and beam_width != self.meta["beam_width"]):
+            raise ValueError(f"artifact beam_width is "
+                             f"{self.meta['beam_width']}, not {beam_width}")
         N, T, D = feats.shape
         B = self.batch_size
         if N > B:
