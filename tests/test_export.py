@@ -102,6 +102,42 @@ def test_serve_from_export_artifact(tiny_cfg, captioner, tmp_path):
         ec.check_config(bad)
 
 
+def test_http_serve_from_export(tiny_cfg, captioner, tmp_path):
+    """The HTTP front-end (make_http_server → BatchingCaptioner) runs off an
+    export artifact: POST /caption returns a caption identical to the live
+    model's for the same features."""
+    import http.client
+    import io as _io
+    import json
+    import threading
+    from vidcap_tpu.serving import make_http_server
+
+    export_decoder(captioner, str(tmp_path / "exp"), batch_size=4,
+                   method="greedy")
+    ec = ExportedCaptioner.load(str(tmp_path / "exp"))
+    server, svc = make_http_server(tiny_cfg, ec, port=0, batch_size=4,
+                                   method="greedy", max_wait_ms=20.0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        feats = _feats(tiny_cfg, 1, seed=9)[0]
+        buf = _io.BytesIO()
+        np.save(buf, feats)
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", "/caption", body=buf.getvalue(),
+                     headers={"Content-Type": "application/octet-stream"})
+        r = conn.getresponse()
+        status, body = r.status, json.loads(r.read())
+        conn.close()
+        assert status == 200
+        live = captioner.dataset.vocab.decode_str(
+            captioner.decode_batch(feats[None], method="greedy")[0])
+        assert body["caption"] == live
+    finally:
+        server.shutdown()
+        svc.close()
+
+
 def test_export_cli_round_trip(tmp_path, monkeypatch, capsys):
     """`vidcap_tpu export` then `caption --from-export`: the deployable unit
     works end-to-end through the public CLI (synthetic fixture, in-process)."""
