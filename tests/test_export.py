@@ -64,6 +64,25 @@ def test_export_rejects_sample_and_pixels(tiny_cfg, captioner, tmp_path):
         export_decoder(captioner, str(tmp_path / "e1"), method="sample")
 
 
+@pytest.mark.parametrize("method", ["greedy", "beam"])
+def test_export_batch_polymorphic(tiny_cfg, captioner, tmp_path, method):
+    """batch_size=None exports ONE artifact with a symbolic leading dim
+    (jax.export.symbolic_shape): every concrete batch size decodes with no
+    padding and exact token parity vs the live per-shape jit."""
+    meta = export_decoder(captioner, str(tmp_path / "poly"), batch_size=None,
+                          method=method, beam_width=3)
+    assert meta["batch_size"] is None
+    ec = ExportedCaptioner.load(str(tmp_path / "poly"))
+    assert ec.batch_size is None
+    for n in (1, 3, 8):
+        feats = _feats(tiny_cfg, n, seed=n)
+        live = captioner.decode_batch(feats, method=method, beam_width=3)
+        np.testing.assert_array_equal(np.asarray(ec.decode_batch(feats)),
+                                      np.asarray(live), err_msg=f"N={n}")
+    caps = ec.caption(_feats(tiny_cfg, 5, seed=99))
+    assert len(caps) == 5
+
+
 def test_serve_from_export_artifact(tiny_cfg, captioner, tmp_path):
     """CaptionServer runs off an ExportedCaptioner (serve --from-export):
     same captions as serving the live checkpointed model, and a method

@@ -210,8 +210,8 @@ def cmd_export(args) -> int:
         beam_width=args.beam or cfg.decode.beam_width,
         platforms=(args.platforms.split(",") if args.platforms else None))
     print(f"[vidcap] exported {meta['method']} decoder "
-          f"(B={meta['batch_size']}, platforms={meta['platforms']}) "
-          f"→ {args.out}", file=sys.stderr)
+          f"(B={meta['batch_size'] or 'polymorphic'}, "
+          f"platforms={meta['platforms']}) → {args.out}", file=sys.stderr)
     return 0
 
 
@@ -287,7 +287,8 @@ def cmd_serve(args) -> int:
         cap = ExportedCaptioner.load(args.from_export)
         cap.check_config(cfg)
         method, beam = cap.meta["method"], cap.meta["beam_width"] or 5
-        args.batch = cap.batch_size
+        # polymorphic artifact (batch_size None): keep the flag's flush size
+        args.batch = cap.batch_size or args.batch
         print(f"[vidcap] serving from export artifact ({method}, "
               f"B={cap.batch_size})", file=sys.stderr)
     else:
@@ -391,7 +392,9 @@ def build_parser() -> argparse.ArgumentParser:
     common(ax)
     ax.add_argument("--out", required=True, help="artifact directory")
     ax.add_argument("--batch", type=int, default=32,
-                    help="fixed batch size baked into the graph")
+                    help="fixed batch size baked into the graph; 0 = batch-"
+                         "polymorphic (symbolic dim, compiles per shape at "
+                         "the load site)")
     ax.add_argument("--method", choices=["greedy", "beam"], default=None)
     ax.add_argument("--beam", type=int, default=None)
     ax.add_argument("--platforms", default=None,

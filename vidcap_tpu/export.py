@@ -37,11 +37,15 @@ _VOCAB_NAME = "vocab.json"
 _META_NAME = "meta.json"
 
 
-def export_decoder(captioner, out_dir: str, *, batch_size: int = 32,
+def export_decoder(captioner, out_dir: str, *, batch_size: Optional[int] = 32,
                    method: str = "greedy", beam_width: int = 5,
                    platforms: Optional[Sequence[str]] = None) -> dict:
-    """Serialize ``captioner``'s decode for one fixed batch shape.
+    """Serialize ``captioner``'s decode for one batch shape — or all of them.
 
+    batch_size: a fixed batch baked into the graph, or ``None``/``0`` for a
+    BATCH-POLYMORPHIC artifact (``jax.export.symbolic_shape``): the StableHLO
+    carries a symbolic leading dim, each concrete batch compiles once at the
+    load site (cached), and no padding is ever needed.
     platforms: lowering targets (default: the current backend only). Sampling
     is excluded — its rng-stream semantics live in the Captioner, not the
     graph; export greedy or beam.
@@ -55,9 +59,12 @@ def export_decoder(captioner, out_dir: str, *, batch_size: int = 32,
         # supported by jax.export but huge; decode serving runs on features.
         raise ValueError("export serves feature-mode decode; run `extract` "
                          "first for pixel inputs")
-    B, T, D = batch_size, cfg.data.num_frames, cfg.data.feature_dim
+    T, D = cfg.data.num_frames, cfg.data.feature_dim
+    B: object = batch_size or None
+    if B is None:
+        B, = jax.export.symbolic_shape("b")
 
-    inner = captioner.build_decode_fn(method, B, beam_width=beam_width)
+    inner = captioner.build_decode_fn(method, batch_size, beam_width=beam_width)
     params = captioner.params
 
     # Bake params in as constants: the artifact is self-contained (no
@@ -76,7 +83,7 @@ def export_decoder(captioner, out_dir: str, *, batch_size: int = 32,
         "schema": EXPORT_SCHEMA,
         "method": method,
         "beam_width": beam_width if method == "beam" else None,
-        "batch_size": B,
+        "batch_size": batch_size or None,   # None ⇒ batch-polymorphic
         "num_frames": T,
         "feature_dim": D,
         "max_len": cfg.decode.max_len,
@@ -108,7 +115,8 @@ class ExportedCaptioner:
         self._exported = exported
         self.vocab = vocab
         self.meta = meta
-        self.batch_size = int(meta["batch_size"])
+        bs = meta["batch_size"]
+        self.batch_size = int(bs) if bs else None   # None ⇒ batch-polymorphic
         self.num_frames = int(meta["num_frames"])
         self.feature_dim = int(meta["feature_dim"])
         # Duck-types the one Dataset attribute the serving stack touches
@@ -156,13 +164,18 @@ class ExportedCaptioner:
             raise ValueError(f"artifact beam_width is "
                              f"{self.meta['beam_width']}, not {beam_width}")
         N, T, D = feats.shape
-        B = self.batch_size
-        if N > B:
-            raise ValueError(f"batch {N} exceeds exported size {B}; chunk "
-                             f"inputs or use caption()")
         if (T, D) != (self.num_frames, self.feature_dim):
             raise ValueError(f"features [{T},{D}] don't match exported "
                              f"[{self.num_frames},{self.feature_dim}]")
+        B = self.batch_size
+        if B is None:                    # polymorphic: exact shape, no padding
+            mb = (np.ones((N, T), np.float32) if frame_mask is None
+                  else np.asarray(frame_mask, np.float32))
+            return np.asarray(self._exported.call(
+                np.ascontiguousarray(feats, np.float32), mb))
+        if N > B:
+            raise ValueError(f"batch {N} exceeds exported size {B}; chunk "
+                             f"inputs or use caption()")
         fb = np.zeros((B, T, D), np.float32)
         mb = np.zeros((B, T), np.float32)
         fb[:N] = feats
@@ -173,7 +186,8 @@ class ExportedCaptioner:
     def caption(self, feats: np.ndarray) -> List[str]:
         """feats f32[N, T, D] for any N → N caption strings (auto-chunked)."""
         out: List[str] = []
-        for i in range(0, feats.shape[0], self.batch_size):
-            toks = self.decode_batch(feats[i:i + self.batch_size])
+        step = self.batch_size or feats.shape[0] or 1
+        for i in range(0, feats.shape[0], step):
+            toks = self.decode_batch(feats[i:i + step])
             out.extend(self.vocab.decode_str(row) for row in toks)
         return out

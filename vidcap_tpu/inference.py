@@ -99,8 +99,14 @@ class Captioner:
         dispatches it and ``vidcap_tpu.export`` serializes it (jax.export);
         keeping one builder guarantees the exported artifact computes
         exactly what live serving computes. Pallas/sharded routes stay in
-        ``decode_batch`` (not portable across backends)."""
-        B = batch_size
+        ``decode_batch`` (not portable across backends).
+
+        The batch dim is read off ``f.shape[0]`` inside the trace (identical
+        under a concrete jit), so the same builder also lowers with a
+        ``jax.export.symbolic_shape`` batch — batch-polymorphic artifacts
+        (``export --batch 0``); ``batch_size`` is only the dispatch-cache
+        key."""
+        del batch_size
         if method == "greedy":
             ee = self.cfg.decode.early_exit
             # tokens-only serving: bf16 logits (argmax exact on the
@@ -111,7 +117,7 @@ class Captioner:
                     self._step_fn(p, keep_compute_dtype=bf16),
                     self.model.apply({"params": p}, f, m,
                                      method=VidCapModel.init_state),
-                    B, self.max_len, early_exit=ee,
+                    f.shape[0], self.max_len, early_exit=ee,
                     with_logp=False).tokens)
 
         if method == "sample":
@@ -120,7 +126,7 @@ class Captioner:
                     self._step_fn(p),
                     self.model.apply({"params": p}, f, m,
                                      method=VidCapModel.init_state),
-                    B, self.max_len, k, temperature).tokens)
+                    f.shape[0], self.max_len, k, temperature).tokens)
 
         if method == "beam":
             K = beam_width
@@ -147,13 +153,13 @@ class Captioner:
                 if use_finished_pool(self.cfg.decode):
                     from vidcap_tpu.models.decoding import beam_decode_pool
                     toks, _ = beam_decode_pool(
-                        beam_step, state, batch=B,
+                        beam_step, state, batch=f.shape[0],
                         max_len=self.max_len, beam_width=K, vocab_size=pv,
                         length_penalty=lp,
                         early_exit=self.cfg.decode.early_exit)
                 else:
                     toks, _ = beam_decode(
-                        beam_step, state, batch=B,
+                        beam_step, state, batch=f.shape[0],
                         max_len=self.max_len, beam_width=K, vocab_size=pv,
                         length_penalty=lp,
                         early_exit=self.cfg.decode.early_exit)
