@@ -177,6 +177,11 @@ def cmd_caption(args) -> int:
         from vidcap_tpu.export import ExportedCaptioner
         dataset = _load_dataset(cfg, split="test")
         ec = ExportedCaptioner.load(args.from_export)
+        ec.check_config(cfg)
+        if args.method and args.method != ec.meta["method"]:
+            raise SystemExit(f"--method {args.method} conflicts with the "
+                             f"artifact (exported {ec.meta['method']}); the "
+                             f"graph is frozen at export time")
         caps = ec.caption(np.asarray(dataset.features, np.float32))
         results = {vid: [c] for vid, c in zip(dataset.video_ids, caps)}
         if args.out:
