@@ -107,8 +107,9 @@ class ExportedCaptioner:
     """Run a `export_decoder` artifact: features → caption strings.
 
     No model construction, no checkpoint, no tracing — `jax.export.deserialize`
-    + one cached compile at first call. Batches are zero-padded (mask=0 rows)
-    up to the exported batch size; larger inputs are chunked.
+    + one cached compile at first call. Fixed-batch artifacts zero-pad
+    (mask=0 rows) up to the exported batch size and chunk larger inputs;
+    batch-polymorphic artifacts (batch_size None) run every N as-is.
     """
 
     def __init__(self, exported, vocab: Vocab, meta: dict):
