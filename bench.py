@@ -129,7 +129,25 @@ def bench_beam_captions_per_sec(batch_size: int = 208, iters: int = 8,
     return B * iters / med_dt, (flops, med_dt, per_trial)
 
 
+def _wait_for_backend(max_wait_s: float = 3600.0) -> None:
+    """Survive the post-compile-kill wedge: backend init can block ~25 min
+    then raise UNAVAILABLE for a while before recovering (CLAUDE.md). Each
+    retry re-attempts initialization; stdout stays clean for the JSON line."""
+    t0 = time.time()
+    while True:
+        try:
+            jax.devices()
+            return
+        except RuntimeError as e:
+            if time.time() - t0 > max_wait_s:
+                raise
+            print(f"[bench] backend unavailable ({str(e)[:120]}); "
+                  f"retrying in 60s", file=sys.stderr)
+            time.sleep(60)
+
+
 def main() -> int:
+    _wait_for_backend()
     target = 2000.0
     per_b = {}
     spread = {}
