@@ -157,6 +157,21 @@ def test_http_serve_from_export(tiny_cfg, captioner, tmp_path):
         svc.close()
 
 
+def test_caption_from_export_rejects_conflicting_method(tiny_cfg, captioner,
+                                                        tmp_path):
+    """`caption --from-export --method X` with X != the artifact's frozen
+    method must exit with an error, not silently decode with the artifact."""
+    from vidcap_tpu.cli.main import build_parser
+    export_decoder(captioner, str(tmp_path / "exp"), batch_size=4,
+                   method="greedy")
+    p = build_parser()
+    a = p.parse_args(["caption", "--preset", "synthetic_tiny",
+                      "--from-export", str(tmp_path / "exp"),
+                      "--method", "beam"])
+    with pytest.raises(SystemExit):
+        a.fn(a)
+
+
 def test_export_cli_round_trip(tmp_path, monkeypatch, capsys):
     """`vidcap_tpu export` then `caption --from-export`: the deployable unit
     works end-to-end through the public CLI (synthetic fixture, in-process)."""
