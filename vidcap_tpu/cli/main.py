@@ -243,7 +243,7 @@ def cmd_eval(args) -> int:
 def cmd_extract(args) -> int:
     cfg = _preset(args)
     from vidcap_tpu.data.frames import extract_features_for_dir
-    extract_features_for_dir(cfg, args.videos, args.split)
+    extract_features_for_dir(cfg, args.videos, args.split, fmt=args.format)
     return 0
 
 
@@ -424,6 +424,9 @@ def build_parser() -> argparse.ArgumentParser:
     common(x)
     x.add_argument("--videos", required=True)
     x.add_argument("--split", default="train")
+    x.add_argument("--format", choices=["npy", "h5", "tfrecord"], default="npy",
+                   help="feature container format (the reference lineage's "
+                        "three dump formats, SURVEY.md C3)")
     x.set_defaults(fn=cmd_extract)
 
     pr = sub.add_parser("prepare",

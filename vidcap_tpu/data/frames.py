@@ -96,9 +96,11 @@ def decode_video_frames(path: str, num_frames: int) -> np.ndarray:
 # --------------------------------------------------------------------- extraction
 
 def extract_features_for_dir(cfg: Config, video_dir: str, split: str = "train",
-                             batch_videos: int = 8) -> None:
+                             batch_videos: int = 8, fmt: str = "npy") -> None:
     """Feature precomputation (SURVEY.md C3): decode every video in ``video_dir``,
-    run the CNN backbone, write {dataset}_{split}_feats.npy + ids json."""
+    run the CNN backbone, write {dataset}_{split}_feats.{fmt} + ids json.
+    ``fmt`` ∈ {npy, h5, tfrecord} — the three dump formats the reference
+    lineage used (SURVEY.md §2.1 C3)."""
     from vidcap_tpu.models.backbone import InceptionResNetV2, load_backbone_params
 
     exts = (".mp4", ".avi", ".mkv", ".webm", ".mov")
@@ -123,7 +125,8 @@ def extract_features_for_dir(cfg: Config, video_dir: str, split: str = "train",
 
     os.makedirs(cfg.data.data_dir, exist_ok=True)
     base = os.path.join(cfg.data.data_dir, f"{cfg.data.dataset}_{split}")
-    np.save(base + "_feats.npy", np.stack(feats))
+    from vidcap_tpu.data.feature_io import save_features
+    path = save_features(base + "_feats", np.stack(feats), ids, fmt=fmt)
     with open(base + "_ids.json", "w") as fp:
         json.dump(ids, fp)
-    print(f"[vidcap] wrote {len(ids)} feature rows → {base}_feats.npy")
+    print(f"[vidcap] wrote {len(ids)} feature rows → {path}")

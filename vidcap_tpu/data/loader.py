@@ -18,8 +18,31 @@ import numpy as np
 
 from vidcap_tpu.config import DataConfig
 from vidcap_tpu.data.attributes import mine_attributes
+from vidcap_tpu.data.feature_io import load_features, resolve_feature_path
 from vidcap_tpu.data.synthetic import make_synthetic_corpus
 from vidcap_tpu.data.vocab import Vocab, build_vocab
+
+
+def _load_split_array(d: str, name: str, split: str, suffix: str):
+    """Resolve + read ``{d}/{name}_{split}{suffix}.{npy|h5|tfrecord}`` and the
+    video-id list. ids come from the sibling ``_ids.json`` when present (and
+    container rows are reordered to match it); otherwise from ids embedded in
+    the container (h5/tfrecord). npy with no ids.json is an error — the array
+    alone carries no alignment."""
+    path = resolve_feature_path(os.path.join(d, f"{name}_{split}{suffix}"))
+    ids_path = os.path.join(d, f"{name}_{split}_ids.json")
+    video_ids = None
+    if os.path.exists(ids_path):
+        with open(ids_path) as f:
+            video_ids = json.load(f)
+    arr, embedded = load_features(path, video_ids)
+    if video_ids is None:
+        if embedded is None:
+            raise FileNotFoundError(
+                f"{ids_path} is required alongside {path} (this container "
+                "format embeds no video ids)")
+        video_ids = embedded
+    return arr, video_ids
 
 
 @dataclasses.dataclass
@@ -104,15 +127,14 @@ class CaptionDataset:
         """Load precomputed features + captions from disk.
 
         Expected layout (produced by ``vidcap_tpu.cli.extract``, SURVEY.md C3):
-          {data_dir}/{dataset}_{split}_feats.npy   f32[N, T, D]
-          {data_dir}/{dataset}_{split}_ids.json    ["video1", ...]
+          {data_dir}/{dataset}_{split}_feats.{npy|h5|tfrecord}   f32[N, T, D]
+          {data_dir}/{dataset}_{split}_ids.json    ["video1", ...] (optional for
+                                                   h5/tfrecord, which embed ids)
           {data_dir}/{dataset}_captions.json       {"video1": ["a man ...", ...]}
           {data_dir}/{dataset}_vocab.json          (optional, else built from train split)
         """
         d, name = cfg.data_dir, cfg.dataset
-        feats = np.load(os.path.join(d, f"{name}_{split}_feats.npy"))
-        with open(os.path.join(d, f"{name}_{split}_ids.json")) as f:
-            video_ids = json.load(f)
+        feats, video_ids = _load_split_array(d, name, split, "_feats")
         with open(os.path.join(d, f"{name}_captions.json")) as f:
             all_captions = json.load(f)
         # MSR-VTT test-server splits list videos with zero sentences; keep the
@@ -136,15 +158,13 @@ class CaptionDataset:
         (SURVEY.md §3.5 — the end-to-end stage trains through pixels).
 
         Expected layout (produced by ``vidcap_tpu.cli.prepare --frames``):
-          {data_dir}/{dataset}_{split}_frames.npy  u8/f32[N, T, S, S, 3]
+          {data_dir}/{dataset}_{split}_frames.{npy|h5|tfrecord}  u8/f32[N, T, S, S, 3]
           plus the same ids/captions/vocab files as :meth:`from_files`.
         uint8 frames are rescaled to the backbone's [-1, 1] input range."""
         d, name = cfg.data_dir, cfg.dataset
-        frames = np.load(os.path.join(d, f"{name}_{split}_frames.npy"))
+        frames, video_ids = _load_split_array(d, name, split, "_frames")
         if frames.dtype == np.uint8:
             frames = frames.astype(np.float32) / 127.5 - 1.0
-        with open(os.path.join(d, f"{name}_{split}_ids.json")) as f:
-            video_ids = json.load(f)
         with open(os.path.join(d, f"{name}_captions.json")) as f:
             all_captions = json.load(f)
         captions = {v: all_captions.get(v, []) for v in video_ids}
