@@ -8,7 +8,13 @@ re-encodes pixels — frozen rollout init at B, the anchor-folded re-score at
 2B, and the attribute head at B ⇒ ~4 backbone fwds + 3 bwds per step) for an
 A/B of the shared-encode restructuring. Both A and B compute the same loss.
 
-    PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_composed_preset.py [B] [T] [iters]
+    PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_composed_preset.py [B] [T] [iters] [accum]
+
+With accum > 1 the harness measures the grad-accumulation path
+(cfg.train.grad_accum): batch B split into accum microbatches scanned inside
+ONE jitted step — the single-chip route to large EFFECTIVE batch for the
+backbone-bound composed stage (e.g. B=64 accum=8 ⇒ effective 64 where the
+monolithic B=64 graph cannot fit activations).
 """
 from __future__ import annotations
 
@@ -129,7 +135,7 @@ def bench_step(step, state, batches, iters):
     return iters / dt, float(m["loss"])
 
 
-def main(B=8, T=26, iters=10):
+def main(B=8, T=26, iters=10, accum=1):
     from vidcap_tpu.utils.compilation_cache import enable_compilation_cache
     enable_compilation_cache()
     from vidcap_tpu.config import get_preset
@@ -143,7 +149,7 @@ def main(B=8, T=26, iters=10):
     cfg = dataclasses.replace(
         cfg,
         data=dataclasses.replace(cfg.data, dataset="synthetic", num_frames=T),
-        train=dataclasses.replace(cfg.train, batch_size=B))
+        train=dataclasses.replace(cfg.train, batch_size=B, grad_accum=accum))
     S = cfg.data.frame_size
     ds = build_prod_vocab_dataset(cfg.data)
     tables = tables_from_dataset(ds)
@@ -151,7 +157,7 @@ def main(B=8, T=26, iters=10):
     params = init_params(model, cfg, jax.random.key(0))
     n_params = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params))
     print(f"[composed] B={B} T={T} {S}x{S} vocab={ds.vocab.size} "
-          f"params={n_params/1e6:.1f}M", flush=True)
+          f"params={n_params/1e6:.1f}M accum={accum}", flush=True)
 
     rng = np.random.default_rng(0)
     it = ds.batches(B, seed=0)
@@ -162,17 +168,30 @@ def main(B=8, T=26, iters=10):
             rng.normal(size=(B, T, S, S, 3)).astype(np.float32))
         return jax.device_put(b)
 
-    batches = [pixel_batch() for _ in range(2)]
+    # accum mode: ONE resident input batch (a second B=64 pixel tensor is
+    # 2.7 GB of HBM the activations need); the evolving donated state keeps
+    # every dispatch distinct, so the axon identical-dispatch hazard (see
+    # CLAUDE.md benchmarking note) does not bite
+    batches = [pixel_batch() for _ in range(1 if accum > 1 else 2)]
     jax.block_until_ready(batches)
 
     results = {}
     state = create_train_state(cfg, params)
     sps, loss = bench_step(make_scst_step(model, cfg, tables=tables),
                            state, batches, iters)
-    results["shared_encode"] = {"steps_per_sec": round(sps, 3),
-                                "ms_per_step": round(1e3 / sps, 1),
-                                "loss": round(loss, 4)}
-    print(f"[composed] shared-encode: {sps:.3f} steps/s", flush=True)
+    key = "shared_encode" if accum == 1 else f"grad_accum_{accum}"
+    results[key] = {"steps_per_sec": round(sps, 3),
+                    "ms_per_step": round(1e3 / sps, 1),
+                    "videos_per_sec": round(sps * B, 1),
+                    "loss": round(loss, 4)}
+    print(f"[composed] {key}: {sps:.3f} steps/s "
+          f"({sps * B:.1f} videos/s)", flush=True)
+
+    if accum > 1:   # the naive A/B is an accum=1 story
+        print(json.dumps({"metric": "composed_e2e_scst_multitask_step",
+                          "B": B, "T": T, "frame": S, "accum": accum,
+                          **results}))
+        return
 
     try:
         state = create_train_state(cfg, params)
@@ -192,4 +211,5 @@ def main(B=8, T=26, iters=10):
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 8,
          int(sys.argv[2]) if len(sys.argv) > 2 else 26,
-         int(sys.argv[3]) if len(sys.argv) > 3 else 10)
+         int(sys.argv[3]) if len(sys.argv) > 3 else 10,
+         int(sys.argv[4]) if len(sys.argv) > 4 else 1)

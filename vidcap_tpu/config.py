@@ -94,6 +94,15 @@ class TrainConfig:
     scst_fused_rollouts: bool = True      # ONE 2B-row forward-only scan for
     #   baseline+sample + teacher-forced re-score (latency-bound step: ~2
     #   scan-equivalents cheaper); False = separate BPTT rollouts (legacy)
+    grad_accum: int = 1                   # K>1: split each batch into K equal
+    #   microbatches and lax.scan per-microbatch grads into one optimizer
+    #   update. Contributions are weighted EXACTLY (token-mean terms by
+    #   micro-token-count / full-batch token count, row-mean terms by 1/K), so
+    #   the summed gradient equals the full-batch gradient mathematically —
+    #   while peak activation memory drops to one microbatch's. This is how
+    #   the memory-bound e2e/composed stages reach large EFFECTIVE batch on a
+    #   single chip (e.g. e2e_scst_multitask: batch_size=64, grad_accum=8
+    #   steps 8-pixel-row microbatches through the IRv2 backbone).
     # multitask
     attribute_loss_weight: float = 0.0    # >0 enables the auxiliary attribute head
     # input pipeline

@@ -41,7 +41,12 @@ def make_scst_step_body(model: VidCapModel, cfg: Config, dataset=None,
     use_pallas = (cfg.model.use_pallas_decoder
                   and cfg.model.num_lstm_layers == 1 and cfg.model.use_attention)
 
-    def loss_fn(params, batch, rng):
+    accum = max(1, cfg.train.grad_accum)
+
+    def forward(params, batch, rng):
+        """Loss pieces: (pg, xe_anchor_mean, xe_token_count, bce, metrics).
+        The single-batch loss_fn and the grad-accumulation path both build on
+        this — one place for the rollout/re-score/anchor semantics."""
         # ONE backbone encode per step (VERDICT r3 weak #1): in e2e mode the
         # pixels go through the CNN exactly once here, and the resulting
         # [B,T,D] features feed rollout init, the PG re-score, the XE anchor,
@@ -133,7 +138,7 @@ def make_scst_step_body(model: VidCapModel, cfg: Config, dataset=None,
                                       shift_right(toks2),
                                       method=VidCapModel.xe_logits)
                 sample = pg_rollout(logits2[:B, :Ls], s_roll)
-                xe_precomputed, _ = masked_xe_loss(
+                xe_precomputed = masked_xe_loss(
                     logits2[B:, :Lg], batch["tokens"], batch["mask"])
             else:
                 sample = rescored_sample(s_roll)
@@ -157,35 +162,108 @@ def make_scst_step_body(model: VidCapModel, cfg: Config, dataset=None,
         r_g = scst_reward(tables, batch["video_idx"], greedy.tokens,
                           greedy.mask, bleu_mix)
 
-        loss, metrics = scst_loss(sample, r_s, r_g)
+        pg, metrics = scst_loss(sample, r_s, r_g)
+        xe = jnp.float32(0.0)
+        ntok = jnp.float32(0.0)
         if cfg.train.scst_xe_mix > 0:
             # XE anchor on the ground-truth captions: keeps the policy tied to
             # the data distribution while the PG term optimizes CIDEr
             if xe_precomputed is not None:
-                xe = xe_precomputed
+                xe, ntok = xe_precomputed
             else:
                 from vidcap_tpu.objectives.xe import (masked_xe_loss,
                                                       shift_right)
                 logits = model.apply({"params": params}, feats, None,
                                      shift_right(batch["tokens"]),
                                      method=VidCapModel.xe_logits)
-                xe, _ = masked_xe_loss(logits, batch["tokens"], batch["mask"])
-            loss = loss + cfg.train.scst_xe_mix * xe
-            metrics["xe_anchor"] = xe
+                xe, ntok = masked_xe_loss(logits, batch["tokens"],
+                                          batch["mask"])
+        bce = jnp.float32(0.0)
         if attr_w > 0:
             attr = model.apply({"params": params}, feats,
                                method=VidCapModel.attribute_logits)
             bce = attribute_bce_loss(attr, batch["attributes"])
+        return pg, xe, ntok, bce, metrics
+
+    def loss_fn(params, batch, rng):
+        pg, xe, ntok, bce, metrics = forward(params, batch, rng)
+        loss = pg
+        if cfg.train.scst_xe_mix > 0:
+            loss = loss + cfg.train.scst_xe_mix * xe
+            metrics["xe_anchor"] = xe
+        if attr_w > 0:
             loss = loss + attr_w * bce
             metrics["attr_loss"] = bce
         metrics["loss"] = loss
         return loss, metrics
 
+    def accum_grads(state: TrainState, batch: Dict[str, Array], sub: Array):
+        """Microbatched SCST grads (cfg.train.grad_accum > 1) — the single-
+        chip path to large EFFECTIVE batch for the composed (pixels→CNN→RL)
+        flagship, whose backbone activations bound the per-microbatch size.
+
+        Weighting: the XE anchor accumulates EXACTLY (micro token count over
+        the full batch's total); attr BCE (row-mean over equal micros) by 1/K,
+        also exact. The PG term normalizes by each microbatch's own sampled-
+        token count and averages — i.e. the estimator of K independent SCST
+        steps sharing one optimizer update (the full-batch total sampled-token
+        count cannot be known before the rollouts run). Unbiased; each
+        microbatch rolls out under its own rng split."""
+        B = batch["tokens"].shape[0]
+        if B % accum:
+            raise ValueError(
+                f"batch size {B} is not divisible by grad_accum {accum}")
+        n_total = jnp.maximum(jnp.sum(batch["mask"]), 1.0)
+
+        def contrib(params, mb, r):
+            pg, xe, ntok, bce, metrics = forward(params, mb, r)
+            c = pg / accum
+            if cfg.train.scst_xe_mix > 0:
+                c = c + cfg.train.scst_xe_mix * xe * ntok / n_total
+            if attr_w > 0:
+                c = c + attr_w * bce / accum
+            return c, (xe * ntok, bce, metrics)
+
+        micro = jax.tree.map(
+            lambda x: x.reshape(accum, B // accum, *x.shape[1:]), batch)
+        subs = jax.random.split(sub, accum)
+        zero = jnp.float32(0.0)
+
+        def scan_one(carry, xs):
+            g_acc, c_acc, xe_acc, bce_acc, m_acc = carry
+            mb, r = xs
+            (c, (xn, bc, m)), g = jax.value_and_grad(
+                contrib, has_aux=True)(state.params, mb, r)
+            return (jax.tree.map(jnp.add, g_acc, g), c_acc + c,
+                    xe_acc + xn, bce_acc + bc,
+                    jax.tree.map(jnp.add, m_acc, m)), None
+
+        zeros_g = jax.tree.map(jnp.zeros_like, state.params)
+        # metric-dict structure from a cheap trace-time eval of one micro
+        m0 = jax.eval_shape(lambda p, b, r: forward(p, b, r)[4], state.params,
+                            jax.tree.map(lambda x: x[0], micro), subs[0])
+        zeros_m = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m0)
+        (grads, loss, xe_num, bce_sum, m_sum), _ = jax.lax.scan(
+            scan_one, (zeros_g, zero, zero, zero, zeros_m), (micro, subs))
+        # row-mean metrics (rewards, advantage mean, per-micro pg) average
+        # exactly over equal-size micros; advantage_std is a mean of per-micro
+        # stds (logging only)
+        metrics = jax.tree.map(lambda x: x / accum, m_sum)
+        if cfg.train.scst_xe_mix > 0:
+            metrics["xe_anchor"] = xe_num / n_total
+        if attr_w > 0:
+            metrics["attr_loss"] = bce_sum / accum
+        metrics["loss"] = loss
+        return grads, metrics
+
     def body(state: TrainState, batch: Dict[str, Array]
              ) -> Tuple[TrainState, Dict[str, Array]]:
         rng, sub = jax.random.split(state.rng)
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, sub)
+        if accum == 1:
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, sub)
+        else:
+            grads, metrics = accum_grads(state, batch, sub)
         metrics["grad_norm"] = optax_global_norm(grads)
         new_state = state.apply_gradients(grads)
         return new_state.replace(rng=rng), metrics

@@ -40,7 +40,10 @@ def make_xe_step_body(model: VidCapModel, cfg: Config
     else:
         train_model = model
 
-    def loss_fn(params, batch, rng):
+    accum = max(1, cfg.train.grad_accum)
+
+    def pieces_fn(params, batch, rng):
+        """Loss pieces: (xe token-mean, token count, attr BCE row-mean)."""
         rngs = {"dropout": rng} if dropout else None
         # ONE backbone encode per step (e2e mode, VERDICT r3 weak #1): pixels
         # → [B,T,D] features consumed by BOTH the XE path and the attribute
@@ -53,21 +56,78 @@ def make_xe_step_body(model: VidCapModel, cfg: Config
                                    shift_right(batch["tokens"]),
                                    method=VidCapModel.xe_logits, rngs=rngs)
         xe, ntok = masked_xe_loss(logits, batch["tokens"], batch["mask"])
-        metrics = {"xe_loss": xe, "tokens": ntok}
-        total = xe
         if attr_w > 0:
             attr_logits = model.apply({"params": params}, feats,
                                       method=VidCapModel.attribute_logits)
             bce = attribute_bce_loss(attr_logits, batch["attributes"])
+        else:
+            bce = jnp.float32(0.0)
+        return xe, ntok, bce
+
+    def loss_fn(params, batch, rng):
+        xe, ntok, bce = pieces_fn(params, batch, rng)
+        metrics = {"xe_loss": xe, "tokens": ntok}
+        total = xe
+        if attr_w > 0:
             total = total + attr_w * bce
             metrics["attr_loss"] = bce
         metrics["loss"] = total
         return total, metrics
 
+    def accum_grads(state: TrainState, batch: Dict[str, Array], sub: Array):
+        """Microbatched grads (cfg.train.grad_accum > 1): lax.scan per-
+        microbatch grads into one sum, weighted so the result EQUALS the
+        full-batch gradient — the XE term by micro-token-count over the full
+        batch's token total, the attr row-mean by 1/K — while peak activation
+        memory is one microbatch's (the scan frees each iteration's
+        activations). This is the single-chip large-effective-batch path for
+        the memory-bound e2e/composed stages."""
+        B = batch["tokens"].shape[0]
+        if B % accum:
+            raise ValueError(
+                f"batch size {B} is not divisible by grad_accum {accum}")
+        n_total = jnp.maximum(jnp.sum(batch["mask"]), 1.0)
+
+        def contrib(params, mb, r):
+            xe, ntok, bce = pieces_fn(params, mb, r)
+            c = xe * ntok / n_total
+            if attr_w > 0:
+                c = c + attr_w * bce / accum
+            return c, (xe * ntok, ntok, bce)
+
+        micro = jax.tree.map(
+            lambda x: x.reshape(accum, B // accum, *x.shape[1:]), batch)
+        subs = jax.random.split(sub, accum)
+        zero = jnp.float32(0.0)
+
+        def scan_one(carry, xs):
+            g_acc, xe_num, tok, bce_acc = carry
+            mb, r = xs
+            (_, (xn, nt, bc)), g = jax.value_and_grad(
+                contrib, has_aux=True)(state.params, mb, r)
+            return (jax.tree.map(jnp.add, g_acc, g),
+                    xe_num + xn, tok + nt, bce_acc + bc), None
+
+        zeros_g = jax.tree.map(jnp.zeros_like, state.params)
+        (grads, xe_num, ntok, bce_sum), _ = jax.lax.scan(
+            scan_one, (zeros_g, zero, zero, zero), (micro, subs))
+        xe_mean = xe_num / n_total          # == full-batch masked XE
+        metrics = {"xe_loss": xe_mean, "tokens": ntok}
+        total = xe_mean
+        if attr_w > 0:
+            bce_mean = bce_sum / accum      # == full-batch row-mean (equal micros)
+            total = total + attr_w * bce_mean
+            metrics["attr_loss"] = bce_mean
+        metrics["loss"] = total
+        return grads, metrics
+
     def body(state: TrainState, batch: Dict[str, Array]):
         rng, sub = jax.random.split(state.rng)
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, sub)
+        if accum == 1:
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, sub)
+        else:
+            grads, metrics = accum_grads(state, batch, sub)
         metrics["grad_norm"] = optax_global_norm(grads)
         return state.apply_gradients(grads).replace(rng=rng), metrics
 
