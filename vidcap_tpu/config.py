@@ -83,6 +83,12 @@ class TrainConfig:
     grad_clip_norm: float = 5.0
     num_steps: int = 10_000
     warmup_steps: int = 0
+    lr_schedule: str = "constant"         # constant | cosine | exponential —
+    #   applied after warmup; cosine decays to lr_decay_rate·lr over
+    #   lr_decay_steps, exponential multiplies by lr_decay_rate every
+    #   lr_decay_steps (smooth)
+    lr_decay_steps: int = 0               # decay horizon (0 ⇒ num_steps)
+    lr_decay_rate: float = 0.1            # cosine floor fraction / exp factor
     weight_decay: float = 0.0
     seed: int = 0
     # SCST / RL

@@ -33,6 +33,35 @@ class TrainState:
                             opt_state=new_opt)
 
 
+def make_lr_schedule(t):
+    """Learning-rate schedule from a TrainConfig (SURVEY.md C17 "LR
+    schedule"): optional linear warmup to ``learning_rate``, then
+    constant / cosine-decay (to ``lr_decay_rate·lr`` over
+    ``lr_decay_steps``, default ``num_steps``) / smooth exponential decay
+    (×``lr_decay_rate`` every ``lr_decay_steps``). Returns a float for the
+    plain constant case (optax accepts either)."""
+    peak = t.learning_rate
+    decay_steps = t.lr_decay_steps if t.lr_decay_steps > 0 else t.num_steps
+    if t.lr_schedule == "constant":
+        base = peak
+    elif t.lr_schedule == "cosine":
+        base = optax.cosine_decay_schedule(peak, decay_steps,
+                                           alpha=t.lr_decay_rate)
+    elif t.lr_schedule == "exponential":
+        base = optax.exponential_decay(peak, decay_steps, t.lr_decay_rate)
+    else:
+        raise ValueError(f"unknown lr_schedule {t.lr_schedule!r}; "
+                         "use constant | cosine | exponential")
+    if t.warmup_steps <= 0:
+        return base
+    warm = optax.linear_schedule(0.0, peak, t.warmup_steps)
+    if not callable(base):
+        base = optax.constant_schedule(base)
+    # join_schedules rebases the count at each boundary, so the decay
+    # clock starts when the warmup ends
+    return optax.join_schedules([warm, base], [t.warmup_steps])
+
+
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     t = cfg.train
     if t.stage == "scst":
@@ -49,13 +78,7 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
                   f"learning_rate/20 = {lr:g} (set train.scst_learning_rate "
                   f"to override)", file=sys.stderr)
         t = dataclasses.replace(t, learning_rate=lr)
-    if t.warmup_steps > 0:
-        schedule = optax.schedules.warmup_constant_schedule(
-            0.0, t.learning_rate, t.warmup_steps) if hasattr(
-                optax.schedules, "warmup_constant_schedule") else \
-            optax.linear_schedule(0.0, t.learning_rate, t.warmup_steps)
-    else:
-        schedule = t.learning_rate
+    schedule = make_lr_schedule(t)
     def _adam(sched):
         """One inner optimizer, shared by every parameter group — weight decay
         and the warmup schedule apply identically whichever group owns the
