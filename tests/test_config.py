@@ -55,3 +55,15 @@ def test_cli_set_flag_reaches_config(monkeypatch):
     cfg = _preset(args)
     assert cfg.decode.beam_width == 2
     assert cfg.decode.method == "beam"
+
+
+def test_apply_overrides_null_only_for_optional_fields():
+    """null/none must not reach non-Optional fields — a nulled
+    learning_rate would surface as an opaque TypeError deep in optax
+    (review r4)."""
+    with pytest.raises(ValueError, match="not nullable"):
+        apply_overrides(get_preset("synthetic_tiny"),
+                        ["train.learning_rate=none"])
+    with pytest.raises(ValueError, match="not nullable"):
+        apply_overrides(get_preset("synthetic_tiny"),
+                        ["model.use_attention=null"])

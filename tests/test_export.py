@@ -190,3 +190,30 @@ def test_export_cli_round_trip(tmp_path, monkeypatch, capsys):
     with open(out_json) as f:
         results = json.load(f)
     assert results and all(isinstance(v, list) for v in results.values())
+
+
+def test_serve_from_export_rejects_conflicting_method(tiny_cfg, captioner,
+                                                      tmp_path):
+    """serve --from-export holds the SAME contract as caption --from-export:
+    a flag conflicting with the frozen graph errors instead of silently
+    serving the artifact's method (review r4)."""
+    from vidcap_tpu.cli.main import build_parser
+    export_decoder(captioner, str(tmp_path / "exp"), batch_size=4,
+                   method="greedy")
+    p = build_parser()
+    a = p.parse_args(["serve", "--preset", "synthetic_tiny",
+                      "--from-export", str(tmp_path / "exp"),
+                      "--method", "beam"])
+    with pytest.raises(SystemExit):
+        a.fn(a)
+
+
+def test_exported_decode_rejects_pixel_inputs(tiny_cfg, captioner, tmp_path):
+    """A pixel-mode [N,T,S,S,3] input must fail with the remedy (run
+    `extract`), not an unpack error (review r4)."""
+    export_decoder(captioner, str(tmp_path / "exp"), batch_size=4,
+                   method="greedy")
+    ec = ExportedCaptioner.load(str(tmp_path / "exp"))
+    pixels = np.zeros((2, tiny_cfg.data.num_frames, 8, 8, 3), np.float32)
+    with pytest.raises(ValueError, match="FEATURES"):
+        ec.decode_batch(pixels)

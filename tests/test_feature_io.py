@@ -149,3 +149,31 @@ def test_tfrecord_uint8_frames_round_trip(tmp_path):
     assert out.dtype == np.uint8
     np.testing.assert_array_equal(out, frames)
     assert ids == ["a", "b"]
+
+
+def test_resolve_warns_on_conflicting_containers(tmp_path, capsys):
+    """Two containers for one split (stale re-extract) must be announced,
+    not silently resolved to the older format (review r4)."""
+    pytest.importorskip("h5py")
+    base = str(tmp_path / "x_feats")
+    save_features(base, _feats(seed=1), IDS, fmt="h5")
+    save_features(base, _feats(seed=2), IDS, fmt="npy")
+    assert resolve_feature_path(base).endswith(".npy")
+    assert "WARNING" in capsys.readouterr().err
+
+
+@pytest.mark.slow
+def test_tfrecord_missing_video_id_is_an_error(tmp_path):
+    """A record without video_id must fail loudly — fabricating an id would
+    silently mispair rows with captions (review r4)."""
+    tf = pytest.importorskip("tensorflow")
+    path = str(tmp_path / "bad.tfrecord")
+    with tf.io.TFRecordWriter(path) as w:
+        w.write(tf.train.Example(features=tf.train.Features(feature={
+            "shape": tf.train.Feature(
+                int64_list=tf.train.Int64List(value=[2])),
+            "features": tf.train.Feature(
+                float_list=tf.train.FloatList(value=[1.0, 2.0])),
+        })).SerializeToString())
+    with pytest.raises(ValueError, match="video_id"):
+        load_features(path)

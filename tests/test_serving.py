@@ -548,3 +548,13 @@ def test_http_path_mode_disabled_by_default(tiny_cfg, tiny_dataset):
     assert status == 403 and "disabled" in body["error"]
     server.shutdown()
     svc.close()
+
+
+def test_batching_captioner_rejects_unbounded_queue(tiny_cfg):
+    """max_queue=0 would be queue.Queue's UNBOUNDED sentinel — the exact
+    overload failure the bound exists to prevent (review r4)."""
+    import pytest
+
+    from vidcap_tpu.serving import BatchingCaptioner
+    with pytest.raises(ValueError, match="max_queue"):
+        BatchingCaptioner(tiny_cfg, None, batch_size=2, max_queue=0)

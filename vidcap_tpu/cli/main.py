@@ -291,6 +291,16 @@ def cmd_serve(args) -> int:
         from vidcap_tpu.export import ExportedCaptioner
         cap = ExportedCaptioner.load(args.from_export)
         cap.check_config(cfg)
+        # same contract as caption --from-export: a flag that CONFLICTS with
+        # the frozen graph is an error, never a silent wrong-method decode
+        if args.method and args.method != cap.meta["method"]:
+            raise SystemExit(f"--method {args.method} conflicts with the "
+                             f"artifact (exported {cap.meta['method']}); the "
+                             f"graph is frozen at export time")
+        if (args.beam and cap.meta["method"] == "beam"
+                and args.beam != cap.meta["beam_width"]):
+            raise SystemExit(f"--beam {args.beam} conflicts with the artifact "
+                             f"(exported beam_width {cap.meta['beam_width']})")
         method, beam = cap.meta["method"], cap.meta["beam_width"] or 5
         # polymorphic artifact (batch_size None): keep the flag's flush size
         args.batch = cap.batch_size or args.batch

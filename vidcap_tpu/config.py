@@ -108,7 +108,10 @@ class TrainConfig:
     #   while peak activation memory drops to one microbatch's. This is how
     #   the memory-bound e2e/composed stages reach large EFFECTIVE batch on a
     #   single chip (e.g. e2e_scst_multitask: batch_size=64, grad_accum=8
-    #   steps 8-pixel-row microbatches through the IRv2 backbone).
+    #   steps 8-pixel-row microbatches through the IRv2 backbone). Caveat:
+    #   with dropout_rate > 0 each microbatch draws its own dropout rng, so
+    #   the accumulated gradient is a different (still unbiased) estimator
+    #   than the full-batch one — equality holds for deterministic losses.
     # multitask
     attribute_loss_weight: float = 0.0    # >0 enables the auxiliary attribute head
     # input pipeline
@@ -284,6 +287,16 @@ def apply_overrides(cfg: Config, overrides) -> Config:
         cur = getattr(sub, field)
         low = raw.strip().lower()
         if low in ("null", "none"):
+            # only Optional-typed fields are nullable: nulling e.g.
+            # train.learning_rate would surface much later as an opaque
+            # TypeError inside optax/jit, far from the CLI (review r4)
+            import typing
+            hint = typing.get_type_hints(type(sub)).get(field)
+            nullable = (cur is None or (hint is not None and type(None)
+                                        in typing.get_args(hint)))
+            if not nullable:
+                raise ValueError(
+                    f"{path} is not nullable (current value {cur!r})")
             val = None
         elif isinstance(cur, bool):
             if low in ("true", "1", "yes"):

@@ -31,15 +31,23 @@ _EXTS = {"npy": ".npy", "h5": ".h5", "tfrecord": ".tfrecord"}
 
 def resolve_feature_path(base: str) -> str:
     """``base`` (no extension) → the existing feature file, trying npy, h5,
-    tfrecord in that order. Raises FileNotFoundError listing all candidates."""
-    tried = []
-    for fmt in FORMATS:
-        p = base + _EXTS[fmt]
-        if os.path.exists(p):
-            return p
-        tried.append(p)
-    raise FileNotFoundError(
-        "no feature file found; tried " + ", ".join(tried))
+    tfrecord in that order. Raises FileNotFoundError listing all candidates.
+    When MORE THAN ONE container exists (e.g. a re-extract in a different
+    format left the old file behind) the preference is announced loudly —
+    silently training on the stale one is the failure mode to avoid."""
+    found = [base + _EXTS[fmt] for fmt in FORMATS
+             if os.path.exists(base + _EXTS[fmt])]
+    if not found:
+        raise FileNotFoundError(
+            "no feature file found; tried "
+            + ", ".join(base + _EXTS[f] for f in FORMATS))
+    if len(found) > 1:
+        import sys
+        print(f"[vidcap] WARNING: {len(found)} feature containers exist for "
+              f"{base} ({', '.join(os.path.basename(p) for p in found)}); "
+              f"loading {os.path.basename(found[0])} — delete the stale one "
+              "if a re-extract changed formats", file=sys.stderr)
+    return found[0]
 
 
 # ------------------------------------------------------------------ writers
@@ -162,8 +170,11 @@ def _load_tfrecord(path: str, video_ids: Optional[Sequence[str]],
         else:
             row = np.asarray(feat["features"].float_list.value, np.float32)
         rows.append(row.reshape(shape) if shape else row)
-        ids.append(feat["video_id"].bytes_list.value[0].decode()
-                   if feat["video_id"].bytes_list.value else str(len(ids)))
+        if not feat["video_id"].bytes_list.value:
+            # fabricating an id here would silently mispair rows with captions
+            raise ValueError(
+                f"record {len(ids)} in {path} has no video_id field")
+        ids.append(feat["video_id"].bytes_list.value[0].decode())
     if not rows:
         raise ValueError(f"no records in {path}")
     return _reorder(np.stack(rows), ids, video_ids)

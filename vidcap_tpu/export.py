@@ -164,6 +164,14 @@ class ExportedCaptioner:
                 and beam_width != self.meta["beam_width"]):
             raise ValueError(f"artifact beam_width is "
                              f"{self.meta['beam_width']}, not {beam_width}")
+        if feats.ndim != 3:
+            # e.g. a pixel-mode (use_backbone) preset handing [N,T,S,S,3]
+            # frames to a feature-mode artifact — fail with the remedy, not
+            # an unpack error
+            raise ValueError(
+                f"exported decoders consume [N, T, D] FEATURES, got shape "
+                f"{feats.shape}; pixel inputs must go through `extract` "
+                "first (export serves feature-mode decode)")
         N, T, D = feats.shape
         if (T, D) != (self.num_frames, self.feature_dim):
             raise ValueError(f"features [{T},{D}] don't match exported "

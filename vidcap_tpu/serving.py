@@ -303,6 +303,11 @@ class BatchingCaptioner:
         # BOUNDED request queue (VERDICT r3 weak #3): overload raises
         # ServerOverloaded (HTTP 429) instead of growing queue + latency
         # without bound. Default headroom: 4 batches beyond the one in flight.
+        # max_queue <= 0 would mean queue.Queue's UNBOUNDED sentinel — the
+        # exact failure the bound prevents — so it is rejected, not passed on.
+        if max_queue is not None and max_queue <= 0:
+            raise ValueError(f"max_queue must be >= 1, got {max_queue} "
+                             "(0 would disable overload protection)")
         self.max_queue = max_queue if max_queue is not None else 4 * batch_size
         self._q: "queue.Queue" = queue.Queue(maxsize=self.max_queue)
         self._latencies_ms = collections.deque(maxlen=_LATENCY_WINDOW)
@@ -333,18 +338,23 @@ class BatchingCaptioner:
         D = self.cfg.data.feature_dim
         if feats.ndim != 2 or feats.shape[1] != D:
             raise ValueError(f"expected [T, {D}] features, got {feats.shape}")
-        if self._closed:
-            raise RuntimeError("server is shut down")
         item = {"event": threading.Event(), "feats": feats,
                 "t": time.perf_counter(), "caption": None, "error": None,
                 "cancelled": False}
-        try:
-            self._q.put_nowait(item)
-        except queue.Full:
-            with self._lock:
+        # closed-check + enqueue under ONE lock, mirroring close()'s
+        # set-flag + enqueue-EOF: an item can only land in the queue BEFORE
+        # the _EOF sentinel, so the batcher's post-EOF drain always reaches it
+        # — without this a submit racing close() could enqueue after the
+        # batcher exited and block for its full timeout (review r4)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("server is shut down")
+            try:
+                self._q.put_nowait(item)
+            except queue.Full:
                 self._rejected += 1
-            raise ServerOverloaded(
-                f"request queue full ({self.max_queue} pending)") from None
+                raise ServerOverloaded(
+                    f"request queue full ({self.max_queue} pending)") from None
         if not item["event"].wait(timeout):
             item["cancelled"] = True    # batcher will skip it (best effort)
             raise TimeoutError("decode timed out")
@@ -418,8 +428,9 @@ class BatchingCaptioner:
             }
 
     def close(self) -> None:
-        self._closed = True             # fail-fast for racing submits
-        self._q.put(_EOF)
+        with self._lock:                # see submit(): flag + EOF atomically
+            self._closed = True         # fail-fast for racing submits
+            self._q.put(_EOF)
         self._thread.join(timeout=5)
 
 

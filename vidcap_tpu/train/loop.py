@@ -279,20 +279,26 @@ def train(
             d = {k: jax.device_put(v) for k, v in d.items()}
         return d, it.state
 
-    if chunk_fn is not None:
-        # Multi-step dispatch (cfg.train.steps_per_dispatch = K, bank mode):
-        # one jitted lax.scan call advances K steps — amortizes the
-        # per-dispatch host↔device round-trip that dominates wall-clock once
-        # the bank removes the payload. Same batch stream, same numerics as
-        # K=1 (tests/test_multistep.py). Checkpoints/evals fire at the chunk
-        # boundary that crosses their cadence; the iterator state saved with
-        # a checkpoint covers exactly the chunks consumed, so exact resume is
-        # preserved (and K may even change across a resume). Per-step LOG
-        # rows are preserved — the scan returns every step's metrics.
-        def _crossed(cadence: int, a: int, b: int) -> bool:
-            return cadence > 0 and (b // cadence) > (a // cadence)
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=1)
+    staged = None
+    # ONE cleanup site for both loops (review r4): a raising chunk_fn or
+    # step_fn must not leak the transfer worker or the prefetcher's thread
+    try:
+        if chunk_fn is not None:
+            # Multi-step dispatch (cfg.train.steps_per_dispatch = K, bank
+            # mode): one jitted lax.scan call advances K steps — amortizes
+            # the per-dispatch host↔device round-trip that dominates
+            # wall-clock once the bank removes the payload. Same batch
+            # stream, same numerics as K=1 (tests/test_multistep.py).
+            # Checkpoints/evals fire at the chunk boundary that crosses their
+            # cadence; the iterator state saved with a checkpoint covers
+            # exactly the chunks consumed, so exact resume is preserved (and
+            # K may even change across a resume). Per-step LOG rows are
+            # preserved — the scan returns every step's metrics.
+            def _crossed(cadence: int, a: int, b: int) -> bool:
+                return cadence > 0 and (b // cadence) > (a // cadence)
 
-        try:
             while num_steps - start >= k_dispatch:
                 ds_list = [batch_to_device_dict(next(it), bank_mode=True)
                            for _ in range(k_dispatch)]
@@ -320,19 +326,8 @@ def train(
                 if _crossed(eval_every, start, end):
                     maybe_eval(end, state)
                 start = end
-        except BaseException:
-            # a raising chunk_fn must not leak the prefetcher's thread;
-            # the remainder-steps loop below has its own finally for the
-            # normal path
-            if hasattr(it, "close"):
-                it.close()
-            raise
-        t_last, s_last = time.time(), start
+            t_last, s_last = time.time(), start
 
-    from concurrent.futures import ThreadPoolExecutor
-    pool = ThreadPoolExecutor(max_workers=1)
-    staged = None
-    try:
         for i in range(start, num_steps):
             if staged is None:
                 staged = pool.submit(stage_next)
@@ -356,9 +351,8 @@ def train(
             if eval_every > 0 and (i + 1) % eval_every == 0:
                 maybe_eval(i + 1, state)
     finally:
-        # a raising step_fn must not leak the transfer worker or the
-        # prefetcher's thread — shutdown unconditionally (the in-flight
-        # device_put finishes; it holds no locks the main thread needs)
+        # shutdown unconditionally (the in-flight device_put finishes; it
+        # holds no locks the main thread needs)
         pool.shutdown(wait=True)
         if hasattr(it, "close"):
             it.close()

@@ -81,7 +81,12 @@ def make_xe_step_body(model: VidCapModel, cfg: Config
         batch's token total, the attr row-mean by 1/K — while peak activation
         memory is one microbatch's (the scan frees each iteration's
         activations). This is the single-chip large-effective-batch path for
-        the memory-bound e2e/composed stages."""
+        the memory-bound e2e/composed stages.
+
+        Equality caveat: with dropout enabled each microbatch draws its own
+        rng split, so the accumulated gradient is a different (unbiased)
+        estimator than one full-batch dropout draw; exact equality holds for
+        deterministic losses (dropout_rate = 0, the e2e presets' default)."""
         B = batch["tokens"].shape[0]
         if B % accum:
             raise ValueError(
