@@ -55,23 +55,49 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
         is_leaf=lambda x: isinstance(x, P))
 
 
+def _put_global(x, sharding: NamedSharding):
+    """Place a host/device value onto a (possibly multi-process) sharding.
+
+    Single-process: plain ``jax.device_put`` (fastest path, unchanged).
+    Multi-process (``jax.distributed`` initialized — SURVEY.md §2.3
+    multi-host): the mesh spans non-addressable devices, which device_put
+    rejects; build the global array from the value each process holds via
+    ``make_array_from_callback``. Callers guarantee the value is identical
+    on every process (params from one seed, the deterministic batch stream) —
+    each process materializes exactly its addressable shards."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    import numpy as np
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
 def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh) -> Dict[str, jax.Array]:
     sh = NamedSharding(mesh, batch_spec())
-    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    return {k: _put_global(v, sh) for k, v in batch.items()}
 
 
 def place_state(state: TrainState, mesh: Mesh) -> TrainState:
-    """Device-put the train state: params per the TP rules, everything else
+    """Place the train state: params per the TP rules, everything else
     replicated. Optimizer moments inherit the param shardings through GSPMD
-    propagation on the first jitted update."""
+    propagation on the first jitted update. Works in single-process AND
+    multi-process (jax.distributed) runs — see :func:`_put_global`."""
     param_sh = param_shardings(state.params, mesh)
     repl = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        rng = jax.device_put(state.rng, repl)
+    else:
+        # PRNG keys carry an opaque dtype make_array_from_callback can't
+        # build; round-trip through key_data
+        rng = jax.random.wrap_key_data(
+            _put_global(jax.random.key_data(state.rng), repl))
     return state.replace(
-        step=jax.device_put(state.step, repl),
-        params=jax.tree_util.tree_map(jax.device_put, state.params, param_sh),
+        step=_put_global(state.step, repl),
+        params=jax.tree_util.tree_map(_put_global, state.params, param_sh),
         opt_state=jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, repl), state.opt_state),
-        rng=jax.device_put(state.rng, repl),
+            lambda x: _put_global(x, repl), state.opt_state),
+        rng=rng,
     )
 
 
