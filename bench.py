@@ -64,7 +64,6 @@ def bench_beam_captions_per_sec(batch_size: int = 208, iters: int = 8,
     B, T, D = batch_size, cfg.data.num_frames, cfg.data.feature_dim
     K = cfg.decode.beam_width
     max_len = cfg.decode.max_len
-    pv = ((vocab_size + 127) // 128) * 128
     rng = np.random.default_rng(0)
 
     def decode(p, f):
@@ -78,7 +77,7 @@ def bench_beam_captions_per_sec(batch_size: int = 208, iters: int = 8,
                                method=VidCapModel.step_beam)
 
         toks, _ = beam_decode(beam_step, state, batch=B,
-                              max_len=max_len, beam_width=K, vocab_size=pv)
+                              max_len=max_len, beam_width=K)
         return toks
 
     # distinct inputs per iteration, all `iters` decodes chained INSIDE one jit

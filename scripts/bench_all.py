@@ -97,8 +97,7 @@ def bench_decode(cfg, model, params, B=128, iters=8):
             return model.apply({"params": params}, s_, tok, K, True,
                                method=VidCapModel.step_beam)
 
-        return beam_decode(sb, st, batch=B, max_len=L, beam_width=K,
-                           vocab_size=V)[0]
+        return beam_decode(sb, st, batch=B, max_len=L, beam_width=K)[0]
 
     out["beam5_caps_per_s"] = B / _time(jax.jit(bm), feats)
 
@@ -112,8 +111,7 @@ def bench_decode(cfg, model, params, B=128, iters=8):
             return model.apply({"params": params}, s_, tok, K, True,
                                method=VidCapModel.step_beam)
 
-        return beam_decode(sb, st, batch=8, max_len=L, beam_width=K,
-                           vocab_size=V)[0]
+        return beam_decode(sb, st, batch=8, max_len=L, beam_width=K)[0]
 
     bj = jax.jit(bm8)
     np.asarray(bj(fb[0]))

@@ -59,8 +59,7 @@ def main(variant: str = "shared", B: int = 128):
                 return model.apply({"params": params}, s, tok, K,
                                    method=VidCapModel.step_beam)
 
-            return beam_decode(sb, st, batch=B, max_len=30, beam_width=K,
-                               vocab_size=16_000)[0]
+            return beam_decode(sb, st, batch=B, max_len=30, beam_width=K)[0]
     else:  # tiled (original)
         @jax.jit
         def decode(f):
@@ -71,8 +70,7 @@ def main(variant: str = "shared", B: int = 128):
                 return model.apply({"params": params}, s, tok,
                                    method=VidCapModel.step)
 
-            return beam_decode(sf, st, batch=B, max_len=30, beam_width=K,
-                               vocab_size=16_000)[0]
+            return beam_decode(sf, st, batch=B, max_len=30, beam_width=K)[0]
 
     t = time.time()
     r0 = np.asarray(decode(feats[0]))

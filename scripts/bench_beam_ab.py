@@ -39,8 +39,7 @@ def run(impl, B=128, iters=8):
             return model.apply({"params": p}, s, tok, K, bf16_logits,
                                method=VidCapModel.step_beam)
 
-        return beam_decode(sb, st, batch=B, max_len=30, beam_width=K,
-                           vocab_size=16_000, topk_impl=topk,
+        return beam_decode(sb, st, batch=B, max_len=30, beam_width=K, topk_impl=topk,
                            unroll=unroll)[0]
 
     stacked = jnp.asarray(rng.normal(size=(iters, B, T, D)), jnp.float32)

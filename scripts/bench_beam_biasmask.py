@@ -28,7 +28,6 @@ def run(fold: bool, B: int = 208, iters: int = 8):
     params = init_params(model, cfg, jax.random.key(0))
     T, D = cfg.data.num_frames, cfg.data.feature_dim
     K, V = 5, 16_000
-    pv = 16_128
     if fold:
         b = params["decoder"]["out_proj"]["bias"]
         params["decoder"]["out_proj"]["bias"] = b.at[V:].set(-1e30)
@@ -41,8 +40,7 @@ def run(fold: bool, B: int = 208, iters: int = 8):
             return model.apply({"params": p}, s, tok, K, True, fold,
                                method=VidCapModel.step_beam)
 
-        return beam_decode(sb, st, batch=B, max_len=30, beam_width=K,
-                           vocab_size=pv)[0]
+        return beam_decode(sb, st, batch=B, max_len=30, beam_width=K)[0]
 
     rng = np.random.default_rng(0)
     stacked = jnp.asarray(rng.normal(size=(iters, B, T, D)), jnp.float32)

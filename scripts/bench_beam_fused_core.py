@@ -54,8 +54,7 @@ def main(B=208, iters=8):
     def decode_with(step, p, f):
         state = model.apply({"params": p}, f, method=VidCapModel.init_state)
         state = tile_recurrent(state, K)
-        toks, _ = beam_decode(step, state, batch=B, max_len=L, beam_width=K,
-                              vocab_size=pv)
+        toks, _ = beam_decode(step, state, batch=B, max_len=L, beam_width=K)
         return toks
 
     results = {}

@@ -29,7 +29,7 @@ def test_fused_beam_matches_reference(tiny_cfg):
                            method=VidCapModel.step_beam_hidden)
 
     t_ref, s_ref = beam_decode(beam_step, tile_recurrent(state, K), batch=B,
-                               max_len=L, beam_width=K, vocab_size=256)
+                               max_len=L, beam_width=K)
 
     out_w = params["decoder"]["out_proj"]["kernel"]
     out_b = params["decoder"]["out_proj"]["bias"]

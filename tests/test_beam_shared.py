@@ -29,9 +29,9 @@ def test_shared_keys_beam_matches_tiled(tiny_cfg):
                            method=VidCapModel.step_beam)
 
     t_old, s_old = beam_decode(step, tile_state(state, K, B), batch=B,
-                               max_len=L, beam_width=K, vocab_size=256)
+                               max_len=L, beam_width=K)
     t_new, s_new = beam_decode(beam_step, tile_recurrent(state, K), batch=B,
-                               max_len=L, beam_width=K, vocab_size=256)
+                               max_len=L, beam_width=K)
     np.testing.assert_array_equal(np.asarray(t_old), np.asarray(t_new))
     np.testing.assert_allclose(np.asarray(s_old), np.asarray(s_new),
                                rtol=1e-5, atol=1e-5)
@@ -59,10 +59,8 @@ def test_bf16_logits_beam_bit_identical(tiny_cfg):
         return beam_step
 
     t_f32, s_f32 = beam_decode(mk_step(False), tile_recurrent(state, K),
-                               batch=B, max_len=L, beam_width=K,
-                               vocab_size=256)
+                               batch=B, max_len=L, beam_width=K)
     t_bf, s_bf = beam_decode(mk_step(True), tile_recurrent(state, K),
-                             batch=B, max_len=L, beam_width=K,
-                             vocab_size=256)
+                             batch=B, max_len=L, beam_width=K)
     np.testing.assert_array_equal(np.asarray(t_f32), np.asarray(t_bf))
     np.testing.assert_array_equal(np.asarray(s_f32), np.asarray(s_bf))

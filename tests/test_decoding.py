@@ -109,7 +109,7 @@ def test_beam_finds_higher_prob_than_greedy():
     step_fn = _toy_step_fn(t)
     greedy = greedy_decode(step_fn, jnp.zeros((1,)), 1, max_len=3)
     toks, scores = beam_decode(step_fn, jnp.zeros((2,)), batch=1, max_len=3,
-                               beam_width=2, vocab_size=V)
+                               beam_width=2)
     g = np.asarray(greedy.tokens)[0]
     b = np.asarray(toks)[0]
     assert g[0] == 3        # greedy takes the locally-best token
@@ -124,8 +124,7 @@ def test_beam_width1_equals_greedy(bound_model):
         size=(B, cfg.data.num_frames, cfg.data.feature_dim)), jnp.float32)
     greedy = greedy_decode(step_fn, make_state(feats), B, max_len=8)
     state = tile_state(make_state(feats), beam_width=1, batch=B)
-    toks, _ = beam_decode(step_fn, state, batch=B, max_len=8, beam_width=1,
-                          vocab_size=256)
+    toks, _ = beam_decode(step_fn, state, batch=B, max_len=8, beam_width=1)
     np.testing.assert_array_equal(np.asarray(greedy.tokens), np.asarray(toks))
 
 
@@ -136,9 +135,9 @@ def test_beam_batch_independence():
     logits = rng.normal(size=(V, V)).astype(np.float32)
     step_fn = _toy_step_fn(jnp.asarray(logits))
     t1, s1 = beam_decode(step_fn, jnp.zeros((2 * 2,)), batch=2, max_len=4,
-                         beam_width=2, vocab_size=V)
+                         beam_width=2)
     t2, s2 = beam_decode(step_fn, jnp.zeros((1 * 2,)), batch=1, max_len=4,
-                         beam_width=2, vocab_size=V)
+                         beam_width=2)
     np.testing.assert_array_equal(np.asarray(t1)[0], np.asarray(t2)[0])
 
 
@@ -170,9 +169,9 @@ def test_beam_iterative_topk_same_result(tiny_cfg):
                            method=VidCapModel.step_beam)
 
     t1, s1 = beam_decode(bs, tile_recurrent(state, K), batch=B, max_len=7,
-                         beam_width=K, vocab_size=256, topk_impl="lax")
+                         beam_width=K, topk_impl="lax")
     t2, s2 = beam_decode(bs, tile_recurrent(state, K), batch=B, max_len=7,
-                         beam_width=K, vocab_size=256, topk_impl="iterative")
+                         beam_width=K, topk_impl="iterative")
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
 
@@ -196,9 +195,9 @@ def test_beam_early_exit_matches_scan(bound_model, tiny_cfg):
                            method=VidCapModel.step_beam)
 
     t_scan, s_scan = beam_decode(beam_step, state, batch=B, max_len=10,
-                                 beam_width=K, vocab_size=256)
+                                 beam_width=K)
     t_ee, s_ee = beam_decode(beam_step, state, batch=B, max_len=10,
-                             beam_width=K, vocab_size=256, early_exit=True)
+                             beam_width=K, early_exit=True)
     np.testing.assert_array_equal(np.asarray(t_scan), np.asarray(t_ee))
     np.testing.assert_array_equal(np.asarray(s_scan), np.asarray(s_ee))
 
@@ -212,9 +211,9 @@ def test_beam_early_exit_matches_scan(bound_model, tiny_cfg):
     logits[5, EOS] = 1.0
     step_fn = _toy_step_fn(jnp.asarray(logits))
     t1, s1 = beam_decode(step_fn, jnp.zeros((2,)), batch=1, max_len=8,
-                         beam_width=2, vocab_size=V)
+                         beam_width=2)
     t2, s2 = beam_decode(step_fn, jnp.zeros((2,)), batch=1, max_len=8,
-                         beam_width=2, vocab_size=V, early_exit=True)
+                         beam_width=2, early_exit=True)
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
 
@@ -288,11 +287,9 @@ def test_finished_pool_beats_slot_blocking_adversarial():
     rows, A_TOK, B_TOK = _adversarial_rows()
     step_fn = _toy_step_fn(jnp.asarray(rows))
     slot_toks, slot_scores = beam_decode(
-        step_fn, jnp.zeros((2,)), batch=1, max_len=3, beam_width=2,
-        vocab_size=rows.shape[1], length_penalty=1.0)
+        step_fn, jnp.zeros((2,)), batch=1, max_len=3, beam_width=2, length_penalty=1.0)
     pool_toks, pool_scores = beam_decode_pool(
-        step_fn, jnp.zeros((2,)), batch=1, max_len=3, beam_width=2,
-        vocab_size=rows.shape[1], length_penalty=1.0)
+        step_fn, jnp.zeros((2,)), batch=1, max_len=3, beam_width=2, length_penalty=1.0)
 
     # slot-blocking: both slots finish at t=1 with the short captions
     st = np.asarray(slot_toks)[0]
@@ -318,10 +315,10 @@ def test_finished_pool_matches_slot_blocking_lp0(bound_model):
     K = 3
     st = tile_state(make_state(feats), K, B)
     toks_a, sc_a = beam_decode(step_fn, st, batch=B, max_len=10,
-                               beam_width=K, vocab_size=100)
+                               beam_width=K)
     st = tile_state(make_state(feats), K, B)
     toks_b, sc_b = beam_decode_pool(step_fn, st, batch=B, max_len=10,
-                                    beam_width=K, vocab_size=100)
+                                    beam_width=K)
     np.testing.assert_allclose(np.asarray(sc_a), np.asarray(sc_b), atol=1e-4)
 
 
@@ -336,11 +333,10 @@ def test_finished_pool_early_exit_parity(bound_model):
     K = 3
     st = tile_state(make_state(feats), K, B)
     toks_a, sc_a = beam_decode_pool(step_fn, st, batch=B, max_len=12,
-                                    beam_width=K, vocab_size=100)
+                                    beam_width=K)
     st = tile_state(make_state(feats), K, B)
     toks_b, sc_b = beam_decode_pool(step_fn, st, batch=B, max_len=12,
-                                    beam_width=K, vocab_size=100,
-                                    early_exit=True)
+                                    beam_width=K, early_exit=True)
     np.testing.assert_allclose(np.asarray(sc_a), np.asarray(sc_b), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(toks_a), np.asarray(toks_b))
 
@@ -374,11 +370,9 @@ def test_finished_pool_early_exit_parity_with_length_penalty():
     rows, A_TOK, B_TOK = _adversarial_rows()
     step_fn = _toy_step_fn(jnp.asarray(rows))
     toks_scan, sc_scan = beam_decode_pool(
-        step_fn, jnp.zeros((2,)), batch=1, max_len=3, beam_width=2,
-        vocab_size=7, length_penalty=1.0)
+        step_fn, jnp.zeros((2,)), batch=1, max_len=3, beam_width=2, length_penalty=1.0)
     toks_ee, sc_ee = beam_decode_pool(
-        step_fn, jnp.zeros((2,)), batch=1, max_len=3, beam_width=2,
-        vocab_size=7, length_penalty=1.0, early_exit=True)
+        step_fn, jnp.zeros((2,)), batch=1, max_len=3, beam_width=2, length_penalty=1.0, early_exit=True)
     np.testing.assert_array_equal(np.asarray(toks_scan)[0],
                                   [A_TOK, B_TOK, EOS])
     np.testing.assert_array_equal(np.asarray(toks_scan), np.asarray(toks_ee))
@@ -413,8 +407,7 @@ def test_finished_pool_prunes_low_ranked_eos():
 
     step_fn = _toy_step_fn(jnp.asarray(rows))
     toks, scores = beam_decode_pool(
-        step_fn, jnp.zeros((1,)), batch=1, max_len=3, beam_width=1,
-        vocab_size=V, length_penalty=1.0)
+        step_fn, jnp.zeros((1,)), batch=1, max_len=3, beam_width=1, length_penalty=1.0)
     out = np.asarray(toks)[0]
     assert out[0] != EOS, out      # no degenerate immediate-<eos> caption
 

@@ -175,12 +175,17 @@ def test_caption_from_export_rejects_conflicting_method(tiny_cfg, captioner,
 def test_export_cli_round_trip(tmp_path, monkeypatch, capsys):
     """`vidcap_tpu export` then `caption --from-export`: the deployable unit
     works end-to-end through the public CLI (synthetic fixture, in-process)."""
-    from vidcap_tpu.cli.main import build_parser
+    from vidcap_tpu.cli.main import build_parser, main
+    ckpt = str(tmp_path / "ckpt")
+    # a real checkpoint first: export now refuses to bake random-init params
+    # into a deployable artifact (review r4)
+    assert main(["train", "--preset", "synthetic_tiny", "--steps", "3",
+                 "--checkpoint-dir", ckpt]) == 0
     p = build_parser()
     exp_dir = str(tmp_path / "artifact")
     a = p.parse_args(["export", "--preset", "synthetic_tiny",
                       "--out", exp_dir, "--batch", "8",
-                      "--method", "greedy"])
+                      "--method", "greedy", "--checkpoint-dir", ckpt])
     assert a.fn(a) == 0
     out_json = str(tmp_path / "caps.json")
     a = p.parse_args(["caption", "--preset", "synthetic_tiny",

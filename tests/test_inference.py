@@ -185,3 +185,16 @@ def test_real_data_layout_full_pipeline(tmp_path, monkeypatch):
         {v: ds.video_captions[v] for v in results}, results)
     for k in ("Bleu_4", "CIDEr", "METEOR", "ROUGE_L"):
         assert np.isfinite(scores[k])
+
+
+def test_from_checkpoint_empty_dir_is_an_error(tmp_path, tiny_cfg,
+                                               tiny_dataset):
+    """A NAMED checkpoint dir with no checkpoint in it must error, not fall
+    back to random-init weights — caption/serve/export would silently emit
+    garbage (or bake it into an AOT artifact). checkpoint_dir=None stays the
+    explicit fresh-params path (review r4)."""
+    import pytest
+    with pytest.raises(FileNotFoundError, match="no checkpoint"):
+        Captioner.from_checkpoint(tiny_cfg, tiny_dataset,
+                                  checkpoint_dir=str(tmp_path / "empty"))
+    Captioner.from_checkpoint(tiny_cfg, tiny_dataset, checkpoint_dir=None)

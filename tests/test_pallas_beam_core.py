@@ -57,8 +57,6 @@ def test_fused_step_matches_xla(setup):
 
 def test_fused_beam_decode_tokens_match(setup):
     cfg, model, params, state, B, K = setup
-    # matches model.setup(): padded_vocab = max(cfg pad, round_up(V, 128))
-    pv = max(cfg.data.padded_vocab, ((100 + 127) // 128) * 128)
 
     def xla_step(st, t):
         return model.apply({"params": params}, st, t, K, True,
@@ -67,9 +65,9 @@ def test_fused_beam_decode_tokens_match(setup):
     fused = make_fused_beam_step(model, params, K, interpret=True)
     L = cfg.decode.max_len
     toks_x, sc_x = beam_decode(xla_step, state, batch=B, max_len=L,
-                               beam_width=K, vocab_size=pv)
+                               beam_width=K)
     toks_f, sc_f = beam_decode(fused, state, batch=B, max_len=L,
-                               beam_width=K, vocab_size=pv)
+                               beam_width=K)
     # tiny bf16-vs-f32 drift can flip a near-tie on an untrained model; most
     # rows must match exactly and scores must be close everywhere
     rows = (np.asarray(toks_x) == np.asarray(toks_f)).all(axis=1).sum()

@@ -126,7 +126,6 @@ def test_sharded_decode_matches_single_device(tiny_cfg, tiny_dataset):
 
     cfg, model, params = _setup(tiny_cfg, tiny_dataset, batch_size=16)
     V = tiny_dataset.vocab.size
-    pv = max(cfg.data.padded_vocab, ((V + 127) // 128) * 128)
     B = 16
     feats = jnp.asarray(
         np.random.default_rng(7).normal(
@@ -146,8 +145,7 @@ def test_sharded_decode_matches_single_device(tiny_cfg, tiny_dataset):
     ref_beam, _ = beam_decode(
         lambda st, t: model.apply({"params": params}, st, t, 3, bf16,
                                   method=VidCapModel.step_beam),
-        state, batch=B, max_len=cfg.decode.max_len, beam_width=3,
-        vocab_size=pv)
+        state, batch=B, max_len=cfg.decode.max_len, beam_width=3)
 
     # GSPMD compiles the per-shard program with different fusion choices than
     # the unsharded one, so bf16 rounding can flip an argmax on the odd row of
@@ -159,8 +157,8 @@ def test_sharded_decode_matches_single_device(tiny_cfg, tiny_dataset):
     for nd, nm in ((8, 1), (4, 2)):    # pure DP + composed vocab-TP seam
         mesh = make_mesh(cfg.mesh, num_data=nd, num_model=nm)
         with mesh:
-            g = make_sharded_decode(model, cfg, mesh, V, method="greedy")
-            b = make_sharded_decode(model, cfg, mesh, V, method="beam",
+            g = make_sharded_decode(model, cfg, mesh, method="greedy")
+            b = make_sharded_decode(model, cfg, mesh, method="beam",
                                     beam_width=3)
             outs[(nd, nm)] = (np.asarray(g(params, feats)),
                               np.asarray(b(params, feats)))

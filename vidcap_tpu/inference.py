@@ -47,16 +47,26 @@ class Captioner:
             from vidcap_tpu.train.checkpoint import CheckpointManager
             from vidcap_tpu.train.state import create_train_state
             mgr = CheckpointManager(checkpoint_dir)
-            if mgr.latest_step() is not None:
-                state = create_train_state(cfg, params)
-                try:
-                    params = mgr.restore(state).params
-                except Exception as e:
-                    raise ValueError(
-                        f"checkpoint at {checkpoint_dir!r} does not match the "
-                        f"model built from this preset/dataset (vocab size "
-                        f"{dataset.vocab.size} — wrong split or synthetic "
-                        f"fallback?): {e}") from e
+            if mgr.latest_step() is None:
+                # a named dir with nothing in it must NOT silently fall back
+                # to random-init weights — caption/serve/export would emit
+                # garbage (or bake it into an AOT artifact) with no hint
+                # (review r4). checkpoint_dir=None is the explicit
+                # fresh-params path (tests, smoke runs).
+                mgr.close()
+                raise FileNotFoundError(
+                    f"no checkpoint found in {checkpoint_dir!r} — train "
+                    "first, point --checkpoint-dir at a trained run, or "
+                    "pass checkpoint_dir=None for fresh params")
+            state = create_train_state(cfg, params)
+            try:
+                params = mgr.restore(state).params
+            except Exception as e:
+                raise ValueError(
+                    f"checkpoint at {checkpoint_dir!r} does not match the "
+                    f"model built from this preset/dataset (vocab size "
+                    f"{dataset.vocab.size} — wrong split or synthetic "
+                    f"fallback?): {e}") from e
             mgr.close()
         return cls(cfg, model, params, dataset, seed=seed, mesh=mesh)
 
@@ -130,8 +140,6 @@ class Captioner:
 
         if method == "beam":
             K = beam_width
-            pv = max(self.cfg.data.padded_vocab,
-                     ((self.dataset.vocab.size + 127) // 128) * 128)
 
             def decode(p, f, m):
                 from vidcap_tpu.models.decoding import tile_recurrent
@@ -154,13 +162,13 @@ class Captioner:
                     from vidcap_tpu.models.decoding import beam_decode_pool
                     toks, _ = beam_decode_pool(
                         beam_step, state, batch=f.shape[0],
-                        max_len=self.max_len, beam_width=K, vocab_size=pv,
+                        max_len=self.max_len, beam_width=K,
                         length_penalty=lp,
                         early_exit=self.cfg.decode.early_exit)
                 else:
                     toks, _ = beam_decode(
                         beam_step, state, batch=f.shape[0],
-                        max_len=self.max_len, beam_width=K, vocab_size=pv,
+                        max_len=self.max_len, beam_width=K,
                         length_penalty=lp,
                         early_exit=self.cfg.decode.early_exit)
                 return toks
@@ -180,8 +188,6 @@ class Captioner:
         if frame_mask is None:
             frame_mask = np.ones(feats.shape[:2], np.float32)
         mask = jnp.asarray(frame_mask, jnp.float32)
-        padded_vocab = self.model.decoder.padded_vocab if hasattr(
-            self.model, "decoder") else self.cfg.data.padded_vocab
 
         # multi-chip serving: route greedy/beam through the GSPMD data-sharded
         # decode (parallel/sharding.make_sharded_decode); sampling keeps the
@@ -192,8 +198,7 @@ class Captioner:
             def build_sharded():
                 with self.mesh:
                     return make_sharded_decode(
-                        self.model, self.cfg, self.mesh,
-                        self.dataset.vocab.size, method=method,
+                        self.model, self.cfg, self.mesh, method=method,
                         beam_width=beam_width)
             fn = self._get(("sharded", method, B, beam_width), build_sharded)
             with self.mesh:

@@ -345,7 +345,7 @@ def use_finished_pool(decode_cfg) -> bool:
 
 
 def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
-                vocab_size: int, length_penalty: float = 0.0,
+                length_penalty: float = 0.0,
                 recurrent_only_gather: bool = True,
                 topk_impl: str = "iterative",
                 early_exit: bool = False,
@@ -365,7 +365,7 @@ def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
 
     Returns (tokens i32[B, L] best beam, scores f32[B]).
     """
-    K, V = beam_width, vocab_size
+    K = beam_width   # the vocab width comes from the step_fn's logits alone
     B = batch
     NEG = -1e30
 
@@ -468,7 +468,7 @@ def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
 
 
 def beam_decode_pool(step_fn, state, batch: int, max_len: int,
-                     beam_width: int, vocab_size: int,
+                     beam_width: int,
                      length_penalty: float = 0.0,
                      recurrent_only_gather: bool = True,
                      early_exit: bool = False) -> Tuple[Array, Array]:
@@ -497,7 +497,7 @@ def beam_decode_pool(step_fn, state, batch: int, max_len: int,
 
     Returns (tokens i32[B, L] best overall, scores f32[B]).
     """
-    K, V = beam_width, vocab_size
+    K = beam_width   # the vocab width comes from the step_fn's logits alone
     B = batch
     NEG = -1e30
 

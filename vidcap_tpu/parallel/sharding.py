@@ -162,7 +162,7 @@ def make_sharded_xe_step(model: VidCapModel, cfg: Config, mesh: Mesh,
 
 
 def make_sharded_decode(model: VidCapModel, cfg: Config, mesh: Mesh,
-                        vocab_size: int, method: str = "beam",
+                        method: str = "beam",
                         beam_width: int = 5) -> Callable:
     """Multi-chip serving (SURVEY.md §2.3 applied to inference): one jitted
     decode with the video batch sharded over the 'data' axis — every chip
@@ -179,7 +179,6 @@ def make_sharded_decode(model: VidCapModel, cfg: Config, mesh: Mesh,
                                             use_finished_pool)
 
     feats_sh = NamedSharding(mesh, P("data"))
-    pv = max(cfg.data.padded_vocab, ((vocab_size + 127) // 128) * 128)
     max_len = cfg.decode.max_len
     bf16 = cfg.model.compute_dtype == "bfloat16"
 
@@ -206,7 +205,7 @@ def make_sharded_decode(model: VidCapModel, cfg: Config, mesh: Mesh,
         decode_fn = (beam_decode_pool if use_finished_pool(cfg.decode)
                      else beam_decode)
         toks, _ = decode_fn(beam_step, state, batch=B, max_len=max_len,
-                            beam_width=beam_width, vocab_size=pv,
+                            beam_width=beam_width,
                             length_penalty=cfg.decode.length_penalty,
                             early_exit=cfg.decode.early_exit)
         return toks
