@@ -12,8 +12,12 @@ top-K, so the union of per-row top-Ks (top-(K+1)s for the pool's alive set)
 contains the global winners — the same containment argument documented at the
 implementation site (models/decoding.py step()).
 
-Fixed seeds keep the test deterministic; random normal logits make exact
-float ties (the only way the two tie-break orders could diverge) measure-zero.
+Fixed seeds keep the test deterministic. The toy LM is Markov PLUS a random
+per-position bias: a purely Markov table makes exact score ties STRUCTURAL
+(two paths visiting the same transition multiset in different orders sum to
+the same logp — observed as tail-rank swaps at K=5), while the position bias
+breaks the permutation symmetry so ties (the only way the two tie-break
+orders could diverge) are measure-zero again.
 """
 
 import numpy as np
@@ -29,8 +33,9 @@ MAX_LEN = 7
 NSEEDS = 5
 
 
-def _np_logp(table):
-    t = table.astype(np.float64)
+def _np_logp(table, pos_bias):
+    """log_softmax of table[prev] + pos_bias[t] → logp[t, prev, v]."""
+    t = table.astype(np.float64)[None] + pos_bias.astype(np.float64)[:, None]
     t = t - t.max(-1, keepdims=True)
     return t - np.log(np.exp(t).sum(-1, keepdims=True))
 
@@ -39,19 +44,19 @@ def _factor(lp, length):
     return 1.0 if lp == 0.0 else ((5.0 + length) / 6.0) ** lp
 
 
-def numpy_beam_slot(table, K, max_len, lp):
+def numpy_beam_slot(table, pos_bias, K, max_len, lp):
     """Slot-blocking reference: finished beams keep occupying a slot, offering
     one PAD continuation at zero cost."""
-    logp = _np_logp(table)
+    logp = _np_logp(table, pos_bias)
     beams = [(0.0, [], BOS, False)]          # t=0: all K beams identical
-    for _ in range(max_len):
+    for t in range(max_len):
         cands = []
         for bi, (blp, _seq, prev, fin) in enumerate(beams):
             if fin:
                 cands.append((blp, bi, PAD))
             else:
                 for v in range(V):
-                    cands.append((blp + logp[prev, v], bi, v))
+                    cands.append((blp + logp[t, prev, v], bi, v))
         cands.sort(key=lambda c: -c[0])
         beams = [
             (clp, beams[bi][1] + [tok], tok, beams[bi][3] or tok == EOS)
@@ -60,21 +65,21 @@ def numpy_beam_slot(table, K, max_len, lp):
     def norm(b):
         length = sum(1 for x in b[1] if x != PAD)
         return b[0] / _factor(lp, length)
-    best = max(beams, key=norm)
-    return best[1], norm(best)
+    ranked = sorted(beams, key=norm, reverse=True)
+    return [(b[1], norm(b)) for b in ranked]
 
 
-def numpy_beam_pool(table, K, max_len, lp):
+def numpy_beam_pool(table, pos_bias, K, max_len, lp):
     """Finished-pool reference: an <eos> ranking within its row's top K+1
     moves the hypothesis to the pool (normalized at its finish length) and
     all K alive slots keep exploring non-<eos> continuations."""
-    logp = _np_logp(table)
+    logp = _np_logp(table, pos_bias)
     alive = [(0.0, [], BOS)]
     pool = []                                 # (normalized score, seq)
     for t in range(max_len):
         cands = []
         for bi, (blp, seq, prev) in enumerate(alive):
-            row = logp[prev]
+            row = logp[t, prev]
             if int((row > row[EOS]).sum()) < K + 1:   # eos in row's top K+1
                 pool.append(((blp + row[EOS]) / _factor(lp, t + 1),
                              seq + [EOS]))
@@ -85,26 +90,36 @@ def numpy_beam_pool(table, K, max_len, lp):
         pool = pool[:K]
         cands.sort(key=lambda c: -c[0])
         alive = [(clp, alive[bi][1] + [v], v) for clp, bi, v in cands[:K]]
-    best_alive = max((blp / _factor(lp, max_len), seq) for blp, seq, _ in alive)
-    best_fin = pool[0] if pool else (-np.inf, [])
-    best = best_fin if best_fin[0] >= best_alive[0] else best_alive
-    return best[1], best[0]
+    merged = pool + [(blp / _factor(lp, max_len), seq)
+                     for blp, seq, _ in alive]
+    # stable sort keeps pool entries ahead of equal-scoring alive ones — the
+    # same finished-wins-ties rule as the implementation's >= / concat order
+    merged.sort(key=lambda c: -c[0])
+    return [(seq, s) for s, seq in merged[:K]]
 
 
 def _pad(seq, max_len):
     return np.asarray(seq + [PAD] * (max_len - len(seq)), np.int32)
 
 
-def _batched_tables_step_fn(tables):
-    """Per-video Markov LMs: logits = tables[batch_id, prev_tok]. State is the
-    flat [B*K] batch-id vector — beam pruning only reorders rows WITHIN a
-    video's K-block, so the generic state gather keeps it correct."""
+def _batched_tables_step_fn(tables, pos_bias):
+    """Per-video toy LMs: logits = tables[batch_id, prev_tok] + pos_bias[t].
+    State packs (batch_id * 64 + t) per flat [B*K] row — beam pruning only
+    reorders rows WITHIN a video's K-block and every row shares t, so the
+    generic state gather keeps both fields correct."""
     tb = jnp.asarray(tables, jnp.float32)
+    pb = jnp.asarray(pos_bias, jnp.float32)
 
     def step_fn(state, tok):
-        return state, tb[state.astype(jnp.int32), tok]
+        sid = state.astype(jnp.int32)
+        logits = tb[sid // 64, tok] + pb[jnp.minimum(sid % 64, MAX_LEN - 1)]
+        return state + 1.0, logits
 
     return step_fn
+
+
+def _init_state(K):
+    return jnp.repeat(jnp.arange(NSEEDS, dtype=jnp.float32) * 64.0, K)
 
 
 @pytest.mark.parametrize("lp", [0.0, 1.0])
@@ -112,17 +127,30 @@ def _batched_tables_step_fn(tables):
 def test_slot_blocking_matches_numpy_oracle(K, lp):
     rng = np.random.default_rng(1234)
     tables = rng.normal(size=(NSEEDS, V, V)).astype(np.float32)
-    state = jnp.repeat(jnp.arange(NSEEDS, dtype=jnp.float32), K)
+    pos_bias = rng.normal(size=(MAX_LEN, V)).astype(np.float32)
+    step_fn = _batched_tables_step_fn(tables, pos_bias)
     toks, scores = beam_decode(
-        _batched_tables_step_fn(tables), state, batch=NSEEDS,
+        step_fn, _init_state(K), batch=NSEEDS,
         max_len=MAX_LEN, beam_width=K, length_penalty=lp)
     toks, scores = np.asarray(toks), np.asarray(scores)
+    # n-best surface: ALL K hypotheses, best-first
+    toks_all, scores_all = beam_decode(
+        step_fn, _init_state(K), batch=NSEEDS,
+        max_len=MAX_LEN, beam_width=K, length_penalty=lp, return_all=True)
+    toks_all, scores_all = np.asarray(toks_all), np.asarray(scores_all)
     for b in range(NSEEDS):
-        ref_seq, ref_score = numpy_beam_slot(tables[b], K, MAX_LEN, lp)
+        ranked = numpy_beam_slot(tables[b], pos_bias, K, MAX_LEN, lp)
         np.testing.assert_array_equal(
-            toks[b], _pad(ref_seq, MAX_LEN),
+            toks[b], _pad(ranked[0][0], MAX_LEN),
             err_msg=f"seed {b} K={K} lp={lp}")
-        np.testing.assert_allclose(scores[b], ref_score, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(scores[b], ranked[0][1],
+                                   rtol=1e-5, atol=1e-5)
+        for n, (ref_seq, ref_score) in enumerate(ranked):
+            np.testing.assert_array_equal(
+                toks_all[b, n], _pad(ref_seq, MAX_LEN),
+                err_msg=f"seed {b} K={K} lp={lp} rank {n}")
+            np.testing.assert_allclose(scores_all[b, n], ref_score,
+                                       rtol=1e-5, atol=1e-5)
 
 
 @pytest.mark.parametrize("lp", [0.0, 1.0])
@@ -134,17 +162,29 @@ def test_finished_pool_matches_numpy_oracle(K, lp):
     # mostly exercise the alive path)
     tables = rng.normal(size=(NSEEDS, V, V)).astype(np.float32)
     tables[..., EOS] += 1.0
-    state = jnp.repeat(jnp.arange(NSEEDS, dtype=jnp.float32), K)
+    pos_bias = rng.normal(size=(MAX_LEN, V)).astype(np.float32)
+    step_fn = _batched_tables_step_fn(tables, pos_bias)
     toks, scores = beam_decode_pool(
-        _batched_tables_step_fn(tables), state, batch=NSEEDS,
+        step_fn, _init_state(K), batch=NSEEDS,
         max_len=MAX_LEN, beam_width=K, length_penalty=lp)
     toks, scores = np.asarray(toks), np.asarray(scores)
+    toks_all, scores_all = beam_decode_pool(
+        step_fn, _init_state(K), batch=NSEEDS,
+        max_len=MAX_LEN, beam_width=K, length_penalty=lp, return_all=True)
+    toks_all, scores_all = np.asarray(toks_all), np.asarray(scores_all)
     n_finished = 0
     for b in range(NSEEDS):
-        ref_seq, ref_score = numpy_beam_pool(tables[b], K, MAX_LEN, lp)
-        n_finished += EOS in ref_seq
+        ranked = numpy_beam_pool(tables[b], pos_bias, K, MAX_LEN, lp)
+        n_finished += EOS in ranked[0][0]
         np.testing.assert_array_equal(
-            toks[b], _pad(ref_seq, MAX_LEN),
+            toks[b], _pad(ranked[0][0], MAX_LEN),
             err_msg=f"seed {b} K={K} lp={lp}")
-        np.testing.assert_allclose(scores[b], ref_score, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(scores[b], ranked[0][1],
+                                   rtol=1e-5, atol=1e-5)
+        for n, (ref_seq, ref_score) in enumerate(ranked):
+            np.testing.assert_array_equal(
+                toks_all[b, n], _pad(ref_seq, MAX_LEN),
+                err_msg=f"seed {b} K={K} lp={lp} rank {n}")
+            np.testing.assert_allclose(scores_all[b, n], ref_score,
+                                       rtol=1e-5, atol=1e-5)
     assert n_finished >= 2, "fixture too easy: pool path barely exercised"

@@ -198,3 +198,43 @@ def test_from_checkpoint_empty_dir_is_an_error(tmp_path, tiny_cfg,
         Captioner.from_checkpoint(tiny_cfg, tiny_dataset,
                                   checkpoint_dir=str(tmp_path / "empty"))
     Captioner.from_checkpoint(tiny_cfg, tiny_dataset, checkpoint_dir=None)
+
+
+def test_nbest_beam_captions(tiny_cfg, tiny_dataset):
+    """caption --nbest surface: nbest beam hypotheses per video, best first,
+    with the first entry identical to the default best-1 decode; invalid
+    nbest combinations reject loudly."""
+    import pytest
+    cap = Captioner.from_checkpoint(tiny_cfg, tiny_dataset, checkpoint_dir=None)
+    one = cap.caption_dataset(method="beam", beam_width=3, batch_size=8)
+    three = cap.caption_dataset(method="beam", beam_width=3, batch_size=8,
+                                nbest=3)
+    assert set(three) == set(tiny_dataset.video_ids)
+    for vid, caps in three.items():
+        assert len(caps) == 3 and all(isinstance(c, str) for c in caps)
+        assert caps[0] == one[vid][0]       # rank 0 == the best-1 winner
+    feats = np.asarray(
+        np.random.default_rng(9).normal(
+            size=(4, tiny_cfg.data.num_frames, tiny_cfg.data.feature_dim)),
+        np.float32)
+    toks = cap.decode_batch(feats, method="beam", beam_width=3, nbest=2)
+    assert toks.shape == (4, 2, cap.max_len)
+    with pytest.raises(ValueError, match="beam"):
+        cap.decode_batch(feats, method="greedy", nbest=2)
+    with pytest.raises(ValueError, match="nbest"):
+        cap.decode_batch(feats, method="beam", beam_width=3, nbest=4)
+
+
+def test_cli_caption_nbest(tmp_path, monkeypatch):
+    from vidcap_tpu.cli.main import main
+    import pytest
+    monkeypatch.chdir(tmp_path)
+    assert main(["train", "--preset", "synthetic_tiny", "--steps", "3"]) == 0
+    out = tmp_path / "nbest.json"
+    assert main(["caption", "--preset", "synthetic_tiny", "--method", "beam",
+                 "--beam", "3", "--nbest", "3", "--out", str(out)]) == 0
+    results = json.load(open(out))
+    assert results and all(len(v) == 3 for v in results.values())
+    with pytest.raises(SystemExit, match="beam"):
+        main(["caption", "--preset", "synthetic_tiny", "--method", "greedy",
+              "--nbest", "2", "--out", str(out)])

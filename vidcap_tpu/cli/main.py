@@ -144,7 +144,7 @@ def cmd_train(args) -> int:
 
 def _decode_split(cfg: Config, method: str, beam: int, temperature: float,
                   checkpoint_dir: Optional[str], out_path: Optional[str],
-                  seed: Optional[int] = None) -> dict:
+                  seed: Optional[int] = None, nbest: int = 1) -> dict:
     from vidcap_tpu.inference import Captioner
     dataset = _load_dataset(cfg, split="test")
     cap = Captioner.from_checkpoint(cfg, dataset,
@@ -156,7 +156,7 @@ def _decode_split(cfg: Config, method: str, beam: int, temperature: float,
     # Banking decode pays only on REPEATED decodes of one dataset → it's
     # wired into train-time periodic eval (run_validation) instead.
     results = cap.caption_dataset(method=method, beam_width=beam,
-                                  temperature=temperature)
+                                  temperature=temperature, nbest=nbest)
     if out_path:
         with open(out_path, "w") as f:
             json.dump(results, f, indent=1)
@@ -194,9 +194,12 @@ def cmd_caption(args) -> int:
                 print(f"{vid}\t{c[0]}")
         return 0
     method = args.method or cfg.decode.method
+    nbest = getattr(args, "nbest", 1) or 1
+    if nbest > 1 and method != "beam":
+        raise SystemExit(f"--nbest {nbest} requires --method beam")
     _decode_split(cfg, method, args.beam or cfg.decode.beam_width,
                   args.temperature, args.checkpoint_dir, args.out,
-                  seed=getattr(args, "seed", None))
+                  seed=getattr(args, "seed", None), nbest=nbest)
     return 0
 
 
@@ -392,6 +395,10 @@ def build_parser() -> argparse.ArgumentParser:
     common(c)
     c.add_argument("--method", choices=["greedy", "beam", "sample"], default=None)
     c.add_argument("--beam", type=int, default=None)
+    c.add_argument("--nbest", type=int, default=1,
+                   help="beam only: write the N best hypotheses per video "
+                        "(best first) instead of just the winner; N ≤ beam "
+                        "width")
     c.add_argument("--temperature", type=float, default=1.0)
     c.add_argument("--out", default=None)
     c.add_argument("--seed", type=int, default=None,

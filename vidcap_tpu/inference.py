@@ -100,7 +100,8 @@ class Captioner:
         return jax.random.key(int(time.time_ns() % (1 << 31)))
 
     def build_decode_fn(self, method: str, batch_size: int,
-                        beam_width: int = 5, temperature: float = 1.0):
+                        beam_width: int = 5, temperature: float = 1.0,
+                        nbest: int = 1):
         """Jitted XLA decode for a fixed batch shape, with params as an
         argument: ``fn(params, feats, mask)`` (greedy/beam) or
         ``fn(params, feats, mask, rng)`` (sample) → token ids i32[B, L].
@@ -140,6 +141,10 @@ class Captioner:
 
         if method == "beam":
             K = beam_width
+            if not 1 <= nbest <= K:
+                raise ValueError(
+                    f"nbest={nbest} must be in [1, beam_width={K}] — the "
+                    "beam only carries K hypotheses")
 
             def decode(p, f, m):
                 from vidcap_tpu.models.decoding import tile_recurrent
@@ -164,14 +169,17 @@ class Captioner:
                         beam_step, state, batch=f.shape[0],
                         max_len=self.max_len, beam_width=K,
                         length_penalty=lp,
-                        early_exit=self.cfg.decode.early_exit)
+                        early_exit=self.cfg.decode.early_exit,
+                        return_all=nbest > 1)
                 else:
                     toks, _ = beam_decode(
                         beam_step, state, batch=f.shape[0],
                         max_len=self.max_len, beam_width=K,
                         length_penalty=lp,
-                        early_exit=self.cfg.decode.early_exit)
-                return toks
+                        early_exit=self.cfg.decode.early_exit,
+                        return_all=nbest > 1)
+                # n-best: the decoders return [B, K, L] sorted best-first
+                return toks[:, :nbest] if nbest > 1 else toks
             return jax.jit(decode)
 
         raise ValueError(f"unknown decode method {method!r}")
@@ -179,12 +187,23 @@ class Captioner:
     def decode_batch(self, feats: np.ndarray, method: str = "greedy",
                      beam_width: int = 5, temperature: float = 1.0,
                      rng: Optional[jax.Array] = None,
-                     frame_mask: Optional[np.ndarray] = None) -> np.ndarray:
+                     frame_mask: Optional[np.ndarray] = None,
+                     nbest: int = 1) -> np.ndarray:
         """feats f32[B, T, D] → token ids i32[B, L].
 
         frame_mask f32[B, T] (1.0 = real frame) masks attention and the pooled
-        init for inputs shorter than T (serving pads short feature files)."""
+        init for inputs shorter than T (serving pads short feature files).
+
+        nbest > 1 (beam only): the nbest highest-scoring hypotheses per video,
+        i32[B, nbest, L] sorted best-first."""
         B = feats.shape[0]
+        if nbest > 1 and method != "beam":
+            raise ValueError(
+                f"nbest={nbest} requires method='beam' (greedy/sample decode "
+                "one hypothesis)")
+        if nbest > 1 and self.mesh is not None:
+            raise ValueError("nbest > 1 is single-device only — the sharded "
+                             "decode returns the best hypothesis per video")
         if frame_mask is None:
             frame_mask = np.ones(feats.shape[:2], np.float32)
         mask = jnp.asarray(frame_mask, jnp.float32)
@@ -247,9 +266,9 @@ class Captioner:
             return np.asarray(fn(self.params, feats, mask, rng))
 
         if method == "beam":
-            fn = self._get(("beam", B, beam_width),
+            fn = self._get(("beam", B, beam_width, nbest),
                            lambda: self.build_decode_fn(
-                               "beam", B, beam_width=beam_width))
+                               "beam", B, beam_width=beam_width, nbest=nbest))
             return np.asarray(fn(self.params, feats, mask))
 
         raise ValueError(f"unknown decode method {method!r}")
@@ -258,8 +277,13 @@ class Captioner:
 
     def caption_dataset(self, method: str = "greedy", beam_width: int = 5,
                         temperature: float = 1.0, batch_size: int = 32,
-                        device_bank: bool = False) -> Dict[str, List[str]]:
+                        device_bank: bool = False,
+                        nbest: int = 1) -> Dict[str, List[str]]:
         """Decode every video in the dataset → {video_id: [caption string]}.
+
+        nbest > 1 (beam only): each video's list holds its nbest beam
+        hypotheses best-first instead of just the winner (the classic n-best
+        dump of the sess.run-era caption scripts, SURVEY §3.3).
 
         device_bank: park the whole feature tensor in HBM once and gather each
         batch's rows on-device (mirrors train's ``device_feature_bank``) — the
@@ -285,9 +309,10 @@ class Captioner:
                      if bank is not None else batch.features)
             toks = self.decode_batch(feats, method=method,
                                      beam_width=beam_width,
-                                     temperature=temperature)
+                                     temperature=temperature, nbest=nbest)
             for row, vidx in zip(toks, batch.video_idx):
                 vid = self.dataset.video_ids[int(vidx)]
                 if vid not in results:   # padded tail rows repeat the last video
-                    results[vid] = [vocab.decode_str(row)]
+                    results[vid] = ([vocab.decode_str(r) for r in row]
+                                    if nbest > 1 else [vocab.decode_str(row)])
         return results

@@ -349,7 +349,8 @@ def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
                 recurrent_only_gather: bool = True,
                 topk_impl: str = "iterative",
                 early_exit: bool = False,
-                unroll: int = 1) -> Tuple[Array, Array]:
+                unroll: int = 1,
+                return_all: bool = False) -> Tuple[Array, Array]:
     """Batched beam search fully on-device (SURVEY.md C11, §3.3 "TPU build").
 
     The B×K beams are flattened into the batch dimension so every step is one
@@ -363,7 +364,9 @@ def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
     finishes in ~a third of max_len). Throughput benchmarking keeps the static
     scan (fixed trip count, better pipelining).
 
-    Returns (tokens i32[B, L] best beam, scores f32[B]).
+    Returns (tokens i32[B, L] best beam, scores f32[B]); with
+    ``return_all=True``: (tokens i32[B, K, L], scores f32[B, K]) sorted
+    best-first — the n-best surface (`caption --nbest`).
     """
     K = beam_width   # the vocab width comes from the step_fn's logits alone
     B = batch
@@ -462,6 +465,11 @@ def beam_decode(step_fn, state, batch: int, max_len: int, beam_width: int,
 
     lengths = (alive_seq != PAD).astype(jnp.float32).sum(-1)
     scores = lp_norm(alive_logp, lengths)
+    if return_all:
+        # n-best: every beam slot, sorted best-first by normalized score
+        order = jnp.argsort(-scores, axis=-1)               # [B, K]
+        bidx = jnp.arange(B)[:, None]
+        return alive_seq[bidx, order], scores[bidx, order]
     best = jnp.argmax(scores, axis=-1)                      # [B]
     bidx = jnp.arange(B)
     return alive_seq[bidx, best], scores[bidx, best]
@@ -471,7 +479,8 @@ def beam_decode_pool(step_fn, state, batch: int, max_len: int,
                      beam_width: int,
                      length_penalty: float = 0.0,
                      recurrent_only_gather: bool = True,
-                     early_exit: bool = False) -> Tuple[Array, Array]:
+                     early_exit: bool = False,
+                     return_all: bool = False) -> Tuple[Array, Array]:
     """Beam search with a TRUE finished pool (im2txt/tensor2tensor lineage).
 
     Differs from :func:`beam_decode` (slot-blocking): when a hypothesis emits
@@ -495,7 +504,9 @@ def beam_decode_pool(step_fn, state, batch: int, max_len: int,
     degenerates to near-empty captions
     (tests/test_decoding.py::test_finished_pool_prunes_low_ranked_eos).
 
-    Returns (tokens i32[B, L] best overall, scores f32[B]).
+    Returns (tokens i32[B, L] best overall, scores f32[B]); with
+    ``return_all=True``: (tokens i32[B, K, L], scores f32[B, K]) — the K best
+    of the merged pool∪alive candidates, sorted best-first.
     """
     K = beam_width   # the vocab width comes from the step_fn's logits alone
     B = batch
@@ -595,6 +606,15 @@ def beam_decode_pool(step_fn, state, batch: int, max_len: int,
     # best finished beats best alive-at-max_len (alive sequences have no <eos>;
     # normalize them at full length like the classic implementations do)
     alive_norm = alive_logp / lp_factor(jnp.float32(max_len))
+    if return_all:
+        # n-best: top K of the merged pool∪alive candidates. The pool block
+        # comes FIRST in the concat so top_k's lower-index tie-break prefers
+        # a finished caption on exact score ties — the same >= rule as the
+        # best-1 path below; empty pool slots sit at NEG and never surface.
+        all_scores = jnp.concatenate([fin_logp, alive_norm], axis=1)  # [B,2K]
+        all_seq = jnp.concatenate([fin_seq, alive_seq], axis=1)   # [B,2K,L]
+        top, idx = jax.lax.top_k(all_scores, K)
+        return jnp.take_along_axis(all_seq, idx[:, :, None], axis=1), top
     bidx = jnp.arange(B)
     best_fin = jnp.argmax(fin_logp, axis=-1)
     best_alive = jnp.argmax(alive_norm, axis=-1)
