@@ -238,3 +238,29 @@ def test_cli_caption_nbest(tmp_path, monkeypatch):
     with pytest.raises(SystemExit, match="beam"):
         main(["caption", "--preset", "synthetic_tiny", "--method", "greedy",
               "--nbest", "2", "--out", str(out)])
+
+
+def test_cli_info_preflight(capsys):
+    """`info` census: eval_shape param counts match a real init, memory
+    estimate fields present, --json parses."""
+    import jax
+    from vidcap_tpu.cli.main import main
+    from vidcap_tpu.config import get_preset
+    from vidcap_tpu.models.model import create_model, init_params
+
+    assert main(["info", "--preset", "synthetic_tiny", "--json",
+                 "--no-devices"]) == 0
+    info = json.loads(capsys.readouterr().out)
+    cfg = get_preset("synthetic_tiny")
+    model = create_model(cfg, vocab_size=cfg.data.vocab_size)
+    params = init_params(model, cfg, jax.random.key(0))
+    real = sum(int(np.prod(x.shape))
+               for x in jax.tree_util.tree_leaves(params))
+    assert info["params"]["_total"] == real       # census == real init
+    assert info["train_step_hbm_estimate_bytes"]["total"] > 0
+    assert info["dims"]["padded_vocab"] % 128 == 0
+    # human-readable mode also runs
+    assert main(["info", "--preset", "e2e_scst_multitask",
+                 "--no-devices"]) == 0
+    out = capsys.readouterr().out
+    assert "backbone" in out and "rough HBM" in out

@@ -344,6 +344,82 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_info(args) -> int:
+    """Operator preflight: devices, preset dims, parameter census (via
+    jax.eval_shape — instant, nothing allocated), rough step-memory estimate,
+    decode buffer size, compile-cache state. The first stop before pointing a
+    preset at a chip — catches "won't fit" before a long remote compile."""
+    cfg = _preset(args)
+    import jax
+
+    from vidcap_tpu.utils.meminfo import (compile_cache_stats,
+                                          decode_buffer_estimate,
+                                          param_census,
+                                          train_memory_estimate)
+    census = param_census(cfg)
+    mem = train_memory_estimate(cfg, census["_total"])
+    dec = decode_buffer_estimate(cfg)
+    cache = compile_cache_stats()
+    info = {
+        "jax": jax.__version__,
+        "preset": args.preset,
+        "mode": "pixels→CNN (end-to-end)" if cfg.model.use_backbone
+                else "precomputed features",
+        "stage": cfg.train.stage,
+        "dims": {"T": cfg.data.num_frames, "D": cfg.data.feature_dim,
+                 "H": cfg.model.hidden_dim, "A": cfg.model.attn_dim,
+                 "E": cfg.model.embed_dim,
+                 "vocab": cfg.data.vocab_size,
+                 "padded_vocab": cfg.data.padded_vocab,
+                 "max_caption_len": cfg.data.max_caption_len},
+        "decode": {"method": cfg.decode.method,
+                   "beam_width": cfg.decode.beam_width,
+                   "max_len": cfg.decode.max_len},
+        "params": census,
+        "train_step_hbm_estimate_bytes": mem,
+        "beam_logits_buffer": dec,
+        "compile_cache": cache,
+    }
+    if not args.no_devices:
+        # touching jax.devices() initializes the backend — skippable because
+        # on a wedged backend even this blocks for minutes
+        devs = jax.devices()
+        info["backend"] = {"platform": devs[0].platform,
+                           "device_kind": devs[0].device_kind,
+                           "n_devices": len(devs)}
+    if args.json:
+        print(json.dumps(info, indent=1))
+        return 0
+    b = info.get("backend")
+    if b:
+        print(f"[info] jax {info['jax']}  backend={b['platform']} "
+              f"{b['n_devices']}x {b['device_kind']}")
+    else:
+        print(f"[info] jax {info['jax']}  (backend not initialized)")
+    d = info["dims"]
+    print(f"[info] preset {args.preset}: {info['mode']}, stage={info['stage']}"
+          f", T={d['T']} D={d['D']} H={d['H']} vocab={d['vocab']} "
+          f"(padded {d['padded_vocab']})")
+    groups = ", ".join(f"{k} {v/1e6:.2f}M" for k, v in census.items()
+                       if k != "_total")
+    print(f"[info] params: {groups} — total {census['_total']/1e6:.2f}M "
+          f"({census['_total']*4/1e6:.0f} MB f32)")
+    micro = max(1, cfg.train.batch_size // max(1, cfg.train.grad_accum))
+    print(f"[info] train step (microbatch B={micro}): rough HBM "
+          f"{mem['total']/1e9:.2f} GB  (params+opt+grads "
+          f"{(mem['params']+mem['optimizer']+mem['grads'])/1e9:.2f}, "
+          f"activations {mem['activations']/1e9:.2f}, inputs "
+          f"{mem['inputs']/1e9:.2f}) — estimate, not an XLA accounting")
+    print(f"[info] decode method={info['decode']['method']}; a "
+          f"beam-{info['decode']['beam_width']} decode at B="
+          f"{cfg.train.batch_size} sweeps a per-step logits buffer "
+          f"[{int(dec['beam_logits_rows'])}, {int(dec['padded_vocab'])}] = "
+          f"{dec['beam_logits_bytes']/1e6:.1f} MB (the VMEM-cliff knob)")
+    print(f"[info] compile cache {cache['path']}: {cache['entries']} entries, "
+          f"{cache['bytes']/1e6:.0f} MB")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="vidcap_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -436,6 +512,16 @@ def build_parser() -> argparse.ArgumentParser:
     common(e)
     e.add_argument("--captions", required=True)
     e.set_defaults(fn=cmd_eval)
+
+    inf = sub.add_parser("info", help="environment + preset preflight census "
+                                      "(params, memory estimate, cache)")
+    common(inf)
+    inf.add_argument("--json", action="store_true",
+                     help="machine-readable output")
+    inf.add_argument("--no-devices", action="store_true",
+                     help="skip backend init (a wedged backend blocks even "
+                          "jax.devices() for minutes)")
+    inf.set_defaults(fn=cmd_info)
 
     x = sub.add_parser("extract", help="precompute CNN features for a video dir")
     common(x)
