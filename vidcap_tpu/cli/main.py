@@ -144,9 +144,10 @@ def cmd_train(args) -> int:
 
 def _decode_split(cfg: Config, method: str, beam: int, temperature: float,
                   checkpoint_dir: Optional[str], out_path: Optional[str],
-                  seed: Optional[int] = None, nbest: int = 1) -> dict:
+                  seed: Optional[int] = None, nbest: int = 1,
+                  split: str = "test") -> dict:
     from vidcap_tpu.inference import Captioner
-    dataset = _load_dataset(cfg, split="test")
+    dataset = _load_dataset(cfg, split=split)
     cap = Captioner.from_checkpoint(cfg, dataset,
                                     checkpoint_dir or cfg.train.checkpoint_dir,
                                     seed=seed)
@@ -175,7 +176,7 @@ def cmd_caption(args) -> int:
         # export artifact and decode the split with its baked-in weights
         import numpy as np
         from vidcap_tpu.export import ExportedCaptioner
-        dataset = _load_dataset(cfg, split="test")
+        dataset = _load_dataset(cfg, split=getattr(args, "split", "test"))
         ec = ExportedCaptioner.load(args.from_export)
         ec.check_config(cfg)
         if args.method and args.method != ec.meta["method"]:
@@ -199,7 +200,8 @@ def cmd_caption(args) -> int:
         raise SystemExit(f"--nbest {nbest} requires --method beam")
     _decode_split(cfg, method, args.beam or cfg.decode.beam_width,
                   args.temperature, args.checkpoint_dir, args.out,
-                  seed=getattr(args, "seed", None), nbest=nbest)
+                  seed=getattr(args, "seed", None), nbest=nbest,
+                  split=getattr(args, "split", "test"))
     return 0
 
 
@@ -226,13 +228,14 @@ def cmd_export(args) -> int:
 def cmd_sample(args) -> int:
     cfg = _preset(args)
     _decode_split(cfg, "sample", cfg.decode.beam_width, args.temperature,
-                  args.checkpoint_dir, args.out, seed=args.seed)
+                  args.checkpoint_dir, args.out, seed=args.seed,
+                  split=getattr(args, "split", "test"))
     return 0
 
 
 def cmd_eval(args) -> int:
     cfg = _preset(args)
-    dataset = _load_dataset(cfg, split="test")
+    dataset = _load_dataset(cfg, split=getattr(args, "split", "test"))
     with open(args.captions) as f:
         results = json.load(f)
     from vidcap_tpu.metrics.evaluate import evaluate_captions
