@@ -169,8 +169,83 @@ def _decode_split(cfg: Config, method: str, beam: int, temperature: float,
     return results
 
 
+def _caption_inputs(cfg: Config, args) -> int:
+    """caption --inputs FILE|DIR ... — one-shot captioning of arbitrary
+    feature ``.npy`` files or raw videos (decoded host-side via cv2, encoded
+    by the IRv2 backbone), no dataset layout required. The reference's
+    caption script served the same need via hand-edited feature paths
+    (SURVEY §3.3); `serve` offers it interactively, this is the batch form.
+    Output keys are basenames (full path on collision)."""
+    import os
+
+    import numpy as np
+
+    from vidcap_tpu.inference import Captioner
+    from vidcap_tpu.serving import _VIDEO_EXTS, _FeatureLoader, _pad_batch
+
+    method = args.method or cfg.decode.method
+    nbest = getattr(args, "nbest", 1) or 1
+    if nbest > 1 and method != "beam":
+        raise SystemExit(f"--nbest {nbest} requires --method beam")
+    exts = _VIDEO_EXTS + (".npy",)
+    paths = []
+    for item in args.inputs:
+        if os.path.isdir(item):
+            found = sorted(os.path.join(item, f) for f in os.listdir(item)
+                           if f.lower().endswith(exts))
+            if not found:
+                print(f"[vidcap] warning: no video/.npy files in {item!r}",
+                      file=sys.stderr)
+            paths.extend(found)
+        elif os.path.exists(item):
+            paths.append(item)
+        else:
+            raise SystemExit(f"--inputs: {item!r} does not exist")
+    if not paths:
+        raise SystemExit("--inputs matched no files")
+
+    # the dataset supplies the vocab the checkpoint was trained with (same
+    # contract as `export`); features on disk are never touched here
+    dataset = _load_dataset(cfg, split="train")
+    cap = Captioner.from_checkpoint(
+        cfg, dataset, args.checkpoint_dir or cfg.train.checkpoint_dir,
+        seed=getattr(args, "seed", None))
+    loader = _FeatureLoader(cfg)
+    vocab = dataset.vocab
+    B = max(1, min(len(paths), cfg.train.batch_size))
+    results = {}
+    for i in range(0, len(paths), B):
+        chunk = paths[i:i + B]
+        batch, mask = _pad_batch(cfg, [loader(p) for p in chunk], B)
+        toks = np.asarray(cap.decode_batch(
+            batch, method=method, beam_width=args.beam or cfg.decode.beam_width,
+            temperature=args.temperature, frame_mask=mask, nbest=nbest))
+        for p, row in zip(chunk, toks):
+            key = os.path.splitext(os.path.basename(p))[0]
+            if key in results:
+                key = p
+            results[key] = ([vocab.decode_str(r) for r in row]
+                            if nbest > 1 else [vocab.decode_str(row)])
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"[vidcap] wrote {len(results)} captions → {args.out}",
+              file=sys.stderr)
+    else:
+        for vid, caps in results.items():
+            print(f"{vid}\t{caps[0]}")
+    return 0
+
+
 def cmd_caption(args) -> int:
     cfg = _preset(args)
+    if getattr(args, "inputs", None):
+        if getattr(args, "from_export", None):
+            raise SystemExit("--inputs decodes arbitrary files with the live "
+                             "model; --from-export decodes the eval split "
+                             "(the artifact's graph has no frame-mask input "
+                             "for short files) — use one or the other")
+        return _caption_inputs(cfg, args)
     if getattr(args, "from_export", None):
         # AOT path: no model build, no checkpoint restore — deserialize the
         # export artifact and decode the split with its baked-in weights
@@ -234,14 +309,29 @@ def cmd_sample(args) -> int:
 
 
 def cmd_eval(args) -> int:
-    cfg = _preset(args)
-    dataset = _load_dataset(cfg, split=getattr(args, "split", "test"))
     with open(args.captions) as f:
         results = json.load(f)
+    if getattr(args, "refs", None):
+        # standalone coco-caption-style scorer: candidates vs an explicit
+        # {video_id: [reference, ...]} json — no dataset layout or preset
+        # assets needed (the reference workflow piped captions.json straight
+        # into pycocoevalcap the same way, SURVEY §3.4)
+        with open(args.refs) as f:
+            refs = json.load(f)
+    else:
+        cfg = _preset(args)
+        dataset = _load_dataset(cfg, split=getattr(args, "split", "test"))
+        refs = dataset.video_captions
+    gts = {v: refs[v] for v in results if v in refs}
+    skipped = len(results) - len(gts)
+    if skipped:
+        print(f"[vidcap] {skipped} candidate video(s) have no references — "
+              f"skipped", file=sys.stderr)
+    if not gts:
+        raise SystemExit("no video ids in common between --captions and the "
+                         "references")
     from vidcap_tpu.metrics.evaluate import evaluate_captions
-    scores = evaluate_captions(
-        {v: dataset.video_captions[v] for v in results if v in dataset.video_captions},
-        results)
+    scores = evaluate_captions(gts, results)
     print(json.dumps(scores, indent=1))
     return 0
 
@@ -485,6 +575,15 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--from-export", default=None, metavar="DIR",
                    help="decode via an AOT export artifact (see `export`) "
                         "instead of building the model from a checkpoint")
+    c.add_argument("--inputs", nargs="+", default=None, metavar="FILE|DIR",
+                   help="caption these video/.npy files (or directories of "
+                        "them) instead of the eval split — one-shot "
+                        "captioning with no dataset layout; videos are "
+                        "decoded host-side (cv2) and encoded by the IRv2 "
+                        "backbone")
+    c.add_argument("--split", default="test",
+                   help="dataset split to decode (default test; falls back "
+                        "to val)")
     c.set_defaults(fn=cmd_caption)
 
     ax = sub.add_parser(
@@ -514,6 +613,14 @@ def build_parser() -> argparse.ArgumentParser:
     e = sub.add_parser("eval", help="score a captions json (BLEU/ROUGE/CIDEr)")
     common(e)
     e.add_argument("--captions", required=True)
+    e.add_argument("--refs", default=None, metavar="REFS.json",
+                   help="score against this {video_id: [reference, ...]} "
+                        "json instead of the preset dataset's captions — "
+                        "standalone coco-caption-style scoring, no dataset "
+                        "assets needed")
+    e.add_argument("--split", default="test",
+                   help="dataset split supplying references when --refs is "
+                        "not given (default test; falls back to val)")
     e.set_defaults(fn=cmd_eval)
 
     inf = sub.add_parser("info", help="environment + preset preflight census "
