@@ -48,16 +48,49 @@ def test_caption_inputs_files_and_dir(trained_ws, tiny_cfg, monkeypatch):
     monkeypatch.chdir(trained_ws)
     d, paths = _write_npy_inputs(trained_ws, tiny_cfg, n=5)
     out = trained_ws / "caps.json"
-    # mix a directory with an explicit file list (the file is also in the
-    # dir → its second occurrence keys by full path, no silent overwrite)
+    # mix a directory with an explicit file list — the file is also in the
+    # dir, and a repeated path is ONE input, not a silent self-overwrite
+    # (ADVICE r4)
     assert main(["caption", "--preset", "synthetic_tiny", "--method", "greedy",
                  "--inputs", str(d), str(paths[0]), "--out", str(out)]) == 0
     results = json.load(open(out))
-    assert len(results) == 6
-    assert "clip_0" in results and str(paths[0]) in results
-    assert results[str(paths[0])] == results["clip_0"]
+    assert len(results) == 5
+    assert "clip_0" in results
     for caps in results.values():
         assert isinstance(caps, list) and isinstance(caps[0], str)
+
+
+def test_caption_inputs_basename_collision_keys_by_path(trained_ws, tiny_cfg,
+                                                        monkeypatch):
+    """Two DIFFERENT files sharing a basename both key by FULL path,
+    independent of argument order (ADVICE r4: first-seen-wins was
+    order-dependent and asymmetric)."""
+    monkeypatch.chdir(trained_ws)
+    rng = np.random.default_rng(7)
+    a = trained_ws / "site_a"; a.mkdir(exist_ok=True)
+    b = trained_ws / "site_b"; b.mkdir(exist_ok=True)
+    pa, pb = a / "clip.npy", b / "clip.npy"
+    T, D = tiny_cfg.data.num_frames, tiny_cfg.data.feature_dim
+    np.save(pa, rng.normal(size=(T, D)).astype(np.float32))
+    np.save(pb, rng.normal(size=(T, D)).astype(np.float32))
+    for order in ([str(pa), str(pb)], [str(pb), str(pa)]):
+        out = trained_ws / "caps_coll.json"
+        assert main(["caption", "--preset", "synthetic_tiny", "--method",
+                     "greedy", "--inputs", *order, "--out", str(out)]) == 0
+        results = json.load(open(out))
+        assert set(results) == {str(pa), str(pb)}, order
+
+
+def test_caption_inputs_rejects_unsupported_extension(trained_ws, monkeypatch):
+    """An explicitly listed .txt gets the same filter as directory scans
+    (ADVICE r4): a clean SystemExit naming the file, not an np.load
+    traceback."""
+    monkeypatch.chdir(trained_ws)
+    bad = trained_ws / "notes.txt"
+    bad.write_text("not a feature file")
+    with pytest.raises(SystemExit, match="notes.txt"):
+        main(["caption", "--preset", "synthetic_tiny",
+              "--inputs", str(bad)])
 
 
 def test_caption_inputs_nbest_beam(trained_ws, tiny_cfg, monkeypatch):
@@ -98,13 +131,39 @@ def test_caption_inputs_matches_decode_batch(trained_ws, tiny_cfg, monkeypatch):
     assert got == want
 
 
-def test_caption_inputs_rejects_missing_and_from_export(tmp_path):
+def test_caption_inputs_rejects_missing(tmp_path):
     with pytest.raises(SystemExit):
         main(["caption", "--preset", "synthetic_tiny",
               "--inputs", str(tmp_path / "nope.npy")])
-    with pytest.raises(SystemExit):
+
+
+def test_caption_inputs_from_export(trained_ws, tiny_cfg, monkeypatch,
+                                    tmp_path):
+    """--inputs composes with --from-export (ADVICE r4: the artifact graph
+    takes a frame-mask input, so arbitrary .npy features decode AOT):
+    captions match the live-model path token-for-token; raw videos and
+    --nbest are cleanly rejected in artifact mode."""
+    monkeypatch.chdir(trained_ws)
+    d, _ = _write_npy_inputs(trained_ws, tiny_cfg, n=4, seed=11)
+    exp_dir = str(tmp_path / "artifact")
+    assert main(["export", "--preset", "synthetic_tiny", "--out", exp_dir,
+                 "--batch", "8", "--method", "greedy"]) == 0
+    live, aot = trained_ws / "live.json", trained_ws / "aot.json"
+    assert main(["caption", "--preset", "synthetic_tiny", "--method",
+                 "greedy", "--inputs", str(d), "--out", str(live)]) == 0
+    assert main(["caption", "--preset", "synthetic_tiny",
+                 "--from-export", exp_dir,
+                 "--inputs", str(d), "--out", str(aot)]) == 0
+    assert json.load(open(live)) == json.load(open(aot))
+    # raw video input needs the live IRv2 — clean rejection in artifact mode
+    fake_vid = trained_ws / "clip.mp4"
+    fake_vid.write_bytes(b"\x00")
+    with pytest.raises(SystemExit, match="drop\\s+--from-export"):
         main(["caption", "--preset", "synthetic_tiny",
-              "--inputs", str(tmp_path), "--from-export", str(tmp_path)])
+              "--from-export", exp_dir, "--inputs", str(fake_vid)])
+    with pytest.raises(SystemExit, match="nbest"):
+        main(["caption", "--preset", "synthetic_tiny", "--method", "beam",
+              "--nbest", "2", "--from-export", exp_dir, "--inputs", str(d)])
 
 
 def test_eval_refs_standalone(tmp_path, capsys):
@@ -133,3 +192,26 @@ def test_eval_refs_no_overlap_errors(tmp_path):
     with pytest.raises(SystemExit):
         main(["eval", "--preset", "synthetic_tiny",
               "--captions", str(cp), "--refs", str(rp)])
+
+
+def test_eval_refs_shape_validation(tmp_path):
+    """ADVICE r4: malformed --refs dies with a clear SystemExit — an empty
+    reference list (would crash in bleu's min()) and a bare-string value
+    (would be iterated per-character into silent garbage scores)."""
+    cp = tmp_path / "caps.json"
+    cp.write_text(json.dumps({"v": ["a cat"]}))
+    empty = tmp_path / "refs_empty.json"
+    empty.write_text(json.dumps({"v": []}))
+    with pytest.raises(SystemExit, match="NON-EMPTY"):
+        main(["eval", "--preset", "synthetic_tiny",
+              "--captions", str(cp), "--refs", str(empty)])
+    bare = tmp_path / "refs_bare.json"
+    bare.write_text(json.dumps({"v": "a cat"}))
+    with pytest.raises(SystemExit, match="NON-EMPTY"):
+        main(["eval", "--preset", "synthetic_tiny",
+              "--captions", str(cp), "--refs", str(bare)])
+    not_dict = tmp_path / "refs_list.json"
+    not_dict.write_text(json.dumps([["a cat"]]))
+    with pytest.raises(SystemExit, match="json object"):
+        main(["eval", "--preset", "synthetic_tiny",
+              "--captions", str(cp), "--refs", str(not_dict)])

@@ -283,3 +283,41 @@ def test_log_every_zero_disables_periodic_rows(tiny_cfg, tiny_dataset):
                   logger=RecordingLogger(quiet=True))
     assert int(state.step) == 4
     assert [s for s, r in rows if "steps_per_sec" in r] == [4]
+
+
+def test_rng_salt_decorrelates_cross_stage_runs(tmp_path, tiny_cfg,
+                                                tiny_dataset):
+    """VERDICT r4 next #2 (seed sweeps): a cross-stage restore carries params,
+    rng, AND iterator from the checkpoint, so repeated SCST runs off one XE
+    checkpoint replay the identical stochastic stream — train.rng_salt folds
+    into the restored rng to decorrelate them. Contract: salt=0 twice is
+    bit-identical (legacy), equal salts are bit-identical (still
+    deterministic), different salts diverge."""
+    import shutil
+
+    src = str(tmp_path / "xe")
+    cfg = dataclasses.replace(
+        tiny_cfg, train=dataclasses.replace(
+            tiny_cfg.train, checkpoint_dir=src, num_steps=2,
+            checkpoint_every=2, eval_every=0, log_every=0))
+    train(cfg, dataset=tiny_dataset, logger=MetricsLogger())
+
+    def scst_run(tag, salt):
+        ckdir = str(tmp_path / f"scst_{tag}")
+        shutil.copytree(src, ckdir)
+        scfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, stage="scst", num_steps=4, checkpoint_dir=ckdir,
+                rng_salt=salt))
+        state = train(scfg, dataset=tiny_dataset, logger=MetricsLogger(),
+                      resume=True)
+        return np.concatenate([np.asarray(l).ravel() for l in
+                               jax.tree_util.tree_leaves(state.params)])
+
+    base_a, base_b = scst_run("0a", 0), scst_run("0b", 0)
+    np.testing.assert_array_equal(base_a, base_b)
+    salt1_a, salt1_b = scst_run("1a", 1), scst_run("1b", 1)
+    np.testing.assert_array_equal(salt1_a, salt1_b)
+    assert np.any(salt1_a != base_a), "salt must change the sampling stream"
+    salt2 = scst_run("2", 2)
+    assert np.any(salt2 != salt1_a), "different salts must diverge"

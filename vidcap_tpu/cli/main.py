@@ -187,43 +187,76 @@ def _caption_inputs(cfg: Config, args) -> int:
     nbest = getattr(args, "nbest", 1) or 1
     if nbest > 1 and method != "beam":
         raise SystemExit(f"--nbest {nbest} requires --method beam")
-    exts = _VIDEO_EXTS + (".npy",)
+    from_export = getattr(args, "from_export", None)
+    exts = ((".npy",) if from_export else _VIDEO_EXTS + (".npy",))
     paths = []
     for item in args.inputs:
         if os.path.isdir(item):
             found = sorted(os.path.join(item, f) for f in os.listdir(item)
                            if f.lower().endswith(exts))
             if not found:
-                print(f"[vidcap] warning: no video/.npy files in {item!r}",
-                      file=sys.stderr)
+                print(f"[vidcap] warning: no matching "
+                      f"{'/'.join(exts)} files in {item!r}", file=sys.stderr)
             paths.extend(found)
         elif os.path.exists(item):
+            # same filter as the directory scan (ADVICE r4): a .txt/.json here
+            # would otherwise die later in np.load with a raw traceback
+            if not item.lower().endswith(exts):
+                raise SystemExit(
+                    f"--inputs: {item!r} is not a supported input "
+                    f"({', '.join(exts)})" + (
+                        "; raw videos need the live model — drop "
+                        "--from-export" if from_export
+                        and item.lower().endswith(_VIDEO_EXTS) else ""))
             paths.append(item)
         else:
             raise SystemExit(f"--inputs: {item!r} does not exist")
-    if not paths:
-        raise SystemExit("--inputs matched no files")
+    # de-dup repeated paths, then key by basename UNLESS two different files
+    # share one — those all keep their full path (ADVICE r4: first-seen-wins
+    # keying was order-dependent and silently dropped collisions)
+    paths = list(dict.fromkeys(paths))
+    base_of = {p: os.path.splitext(os.path.basename(p))[0] for p in paths}
+    from collections import Counter
+    dup = {b for b, n in Counter(base_of.values()).items() if n > 1}
 
-    # the dataset supplies the vocab the checkpoint was trained with (same
-    # contract as `export`); features on disk are never touched here
-    dataset = _load_dataset(cfg, split="train")
-    cap = Captioner.from_checkpoint(
-        cfg, dataset, args.checkpoint_dir or cfg.train.checkpoint_dir,
-        seed=getattr(args, "seed", None))
+    if from_export:
+        # AOT path (ADVICE r4): the artifact's graph DOES take a frame-mask
+        # input, so arbitrary .npy features decode fine — only raw videos are
+        # out (encoding them needs the live IRv2, which the artifact lacks).
+        if nbest > 1:
+            raise SystemExit("--nbest > 1 needs the live model; the export "
+                             "artifact returns the single best hypothesis")
+        from vidcap_tpu.export import ExportedCaptioner
+        ec = ExportedCaptioner.load(from_export)
+        ec.check_config(cfg)
+        if args.method and args.method != ec.meta["method"]:
+            raise SystemExit(f"--method {args.method} conflicts with the "
+                             f"artifact (exported {ec.meta['method']}); the "
+                             f"graph is frozen at export time")
+        vocab = ec.vocab
+        B = ec.batch_size or max(1, min(len(paths), cfg.train.batch_size))
+        decode = lambda batch, mask: ec.decode_batch(batch, frame_mask=mask)
+    else:
+        # the dataset supplies the vocab the checkpoint was trained with
+        # (same contract as `export`); features on disk are never touched here
+        dataset = _load_dataset(cfg, split="train")
+        cap = Captioner.from_checkpoint(
+            cfg, dataset, args.checkpoint_dir or cfg.train.checkpoint_dir,
+            seed=getattr(args, "seed", None))
+        vocab = dataset.vocab
+        B = max(1, min(len(paths), cfg.train.batch_size))
+        decode = lambda batch, mask: np.asarray(cap.decode_batch(
+            batch, method=method, beam_width=args.beam or cfg.decode.beam_width,
+            temperature=args.temperature, frame_mask=mask, nbest=nbest))
     loader = _FeatureLoader(cfg)
-    vocab = dataset.vocab
-    B = max(1, min(len(paths), cfg.train.batch_size))
     results = {}
     for i in range(0, len(paths), B):
         chunk = paths[i:i + B]
-        batch, mask = _pad_batch(cfg, [loader(p) for p in chunk], B)
-        toks = np.asarray(cap.decode_batch(
-            batch, method=method, beam_width=args.beam or cfg.decode.beam_width,
-            temperature=args.temperature, frame_mask=mask, nbest=nbest))
+        rows = [loader(p) for p in chunk]
+        batch, mask = _pad_batch(cfg, rows, B)
+        toks = decode(batch, mask)[:len(chunk)]
         for p, row in zip(chunk, toks):
-            key = os.path.splitext(os.path.basename(p))[0]
-            if key in results:
-                key = p
+            key = p if base_of[p] in dup else base_of[p]
             results[key] = ([vocab.decode_str(r) for r in row]
                             if nbest > 1 else [vocab.decode_str(row)])
     if args.out:
@@ -240,11 +273,9 @@ def _caption_inputs(cfg: Config, args) -> int:
 def cmd_caption(args) -> int:
     cfg = _preset(args)
     if getattr(args, "inputs", None):
-        if getattr(args, "from_export", None):
-            raise SystemExit("--inputs decodes arbitrary files with the live "
-                             "model; --from-export decodes the eval split "
-                             "(the artifact's graph has no frame-mask input "
-                             "for short files) — use one or the other")
+        # --inputs composes with --from-export since r5 (ADVICE r4): the
+        # artifact graph takes a frame-mask input, so arbitrary .npy feature
+        # files decode AOT; raw videos still need the live model's IRv2.
         return _caption_inputs(cfg, args)
     if getattr(args, "from_export", None):
         # AOT path: no model build, no checkpoint restore — deserialize the
@@ -318,6 +349,19 @@ def cmd_eval(args) -> int:
         # into pycocoevalcap the same way, SURVEY §3.4)
         with open(args.refs) as f:
             refs = json.load(f)
+        # shape-check before scoring (ADVICE r4): an empty list crashes deep
+        # in bleu's min() and a bare string iterates per-CHARACTER — both
+        # produce a raw traceback or silent garbage instead of a clean error
+        if not isinstance(refs, dict):
+            raise SystemExit(f"--refs must be a json object "
+                             f"{{video_id: [reference, ...]}}, got "
+                             f"{type(refs).__name__}")
+        for vid, r in refs.items():
+            if (not isinstance(r, list) or not r
+                    or not all(isinstance(c, str) for c in r)):
+                raise SystemExit(
+                    f"--refs[{vid!r}] must be a NON-EMPTY list of reference "
+                    f"strings, got {r!r:.80}")
     else:
         cfg = _preset(args)
         dataset = _load_dataset(cfg, split=getattr(args, "split", "test"))

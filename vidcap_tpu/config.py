@@ -91,6 +91,12 @@ class TrainConfig:
     lr_decay_rate: float = 0.1            # cosine floor fraction / exp factor
     weight_decay: float = 0.0
     seed: int = 0
+    rng_salt: int = 0                     # nonzero: folded into the rng on a
+    #   CROSS-STAGE restore (xe→scst/e2e) so repeated fine-tuning runs off one
+    #   checkpoint draw independent sampling streams (seed sweeps). The
+    #   checkpoint otherwise carries params+rng+iterator, making train.seed
+    #   inert on resume. 0 (default) = bit-exact legacy behavior; exact
+    #   mid-stage resume never applies the salt.
     # SCST / RL
     scst_reward: str = "cider"            # cider | cider_bleu
     bleu_mix: float = 0.0                 # weight of BLEU4 in mixed reward

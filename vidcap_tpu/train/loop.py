@@ -123,6 +123,17 @@ def train(
                   f"{cfg.train.stage}): params restored, optimizer "
                   f"re-initialised", file=sys.stderr)
             state, iter_state = ckpt.restore_params_only(state, with_iter=True)
+            if cfg.train.rng_salt:
+                # Seed-sweep support (VERDICT r4 next #2): repeated fine-tuning
+                # runs off ONE checkpoint otherwise replay the identical
+                # stochastic stream (params, rng, AND iterator all come from
+                # the checkpoint — train.seed is inert here). A nonzero salt
+                # folds into the restored rng so each run draws an independent
+                # sampling/dropout stream while init, data order, and the
+                # optimizer stay matched. Mid-stage (exact) resume never
+                # takes this branch, so SIGKILL-resume parity is untouched.
+                state = state.replace(
+                    rng=jax.random.fold_in(state.rng, cfg.train.rng_salt))
         else:
             try:
                 state, iter_state = ckpt.restore(state, with_iter=True)
