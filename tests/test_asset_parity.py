@@ -144,13 +144,46 @@ def test_ptb_tokenizer_jar_parity_contractions():
         assert ptb_tokenize(sent) == want, sent
 
 
+_METEOR_JAR = os.environ.get("VIDCAP_METEOR_JAR")
+
+
+@pytest.mark.skipif(not (_METEOR_JAR and os.path.exists(_METEOR_JAR or "")
+                         and _HAVE_JAVA),
+                    reason="awaiting asset: set VIDCAP_METEOR_JAR to the "
+                           "meteor-1.5 jar (plus a JVM) to activate the "
+                           "METEOR parity gate (VERDICT r4 missing #5)")
+def test_meteor_python_port_lower_bounds_jar(monkeypatch):
+    """The python Meteor-1.5 port lacks the jar's synonym/paraphrase data
+    files, so it is a documented STRICT LOWER BOUND of the jar score
+    (metrics/meteor.py module docstring) — and must EQUAL the jar on
+    exact-match candidates, where no synonym module can fire."""
+    from vidcap_tpu.metrics import meteor as M
+
+    gts, res = _random_corpus(seed=5)
+    tok_gts = {v: [r.split() for r in rs] for v, rs in gts.items()}
+    tok_res = {v: c[0].split() for v, c in res.items()}
+    jar_score, jar_per = M._meteor_jar(_METEOR_JAR, tok_gts, tok_res)
+    monkeypatch.delenv("VIDCAP_METEOR_JAR")   # force the python path
+    py_score, py_per = M.meteor(tok_gts, tok_res)
+    assert py_score <= jar_score + 1e-6
+    for v in tok_res:
+        assert py_per[v] <= jar_per[v] + 1e-6, v
+
+    exact = {v: tok_gts[v][0] for v in list(tok_gts)[:4]}
+    exact_gts = {v: tok_gts[v] for v in exact}
+    j2, _ = M._meteor_jar(_METEOR_JAR, exact_gts, exact)
+    p2, _ = M.meteor(exact_gts, exact)
+    assert p2 == pytest.approx(j2, abs=1e-4)
+
+
 def test_asset_gates_are_wired():
     """Meta-test (always runs): the gates above exist, carry skip markers that
     name their missing asset, and this file imports everything it needs when
     assets are ABSENT too — i.e. the activation path can't rot silently."""
     gates = [test_pycocoevalcap_scorer_parity,
              test_ptb_tokenizer_jar_parity_plain,
-             test_ptb_tokenizer_jar_parity_contractions]
+             test_ptb_tokenizer_jar_parity_contractions,
+             test_meteor_python_port_lower_bounds_jar]
     for fn in gates:
         marks = [m for m in getattr(fn, "pytestmark", [])
                  if m.name == "skipif"]
