@@ -1,18 +1,30 @@
-"""Aggregate the round-5 evidence suite (scripts/r5_suite.sh) into ONE
-artifact: artifacts/R5_EVIDENCE.json (VERDICT r4 next #1–#4).
+"""Aggregate the round-5 evidence suites (scripts/r5_suite.sh, r5_suite2.sh,
+r5_suite3.sh) into ONE artifact: artifacts/R5_EVIDENCE.json (VERDICT r4
+next #1–#4 and #7).
 
 Sections:
-  multitask_ablation — attr_w 0.2 vs 0.0 × matched seeds: end-of-XE and
-    final val CIDEr/BLEU-4 per arm, per-seed paired deltas, mean ± spread.
+  multitask_ablation — attr_w 0.2 vs 0.0 × matched seeds. XE endpoints come
+    from the staged arm logs (r5_ab_w*.jsonl); the SCST endpoints come from
+    the RECOVERED-recipe reruns (scst_learning_rate=5e-5, r5_b_w*.jsonl)
+    which resume each arm's frozen XE-2500 snapshot. Paired deltas at both
+    phases, mean ± spread.
   scst_seed_sweep    — the SCST stage repeated off ONE frozen XE checkpoint
-    under different rng salts: val-CIDEr delta per run, mean ± spread
-    (is the single-seed +0.016 of r4 real?).
-  scst_horizon       — 5000-step SCST run: the full val curve, where it
+    under different rng salts at 5e-5 (r5_b_salt*.jsonl + the seed-0 rerun
+    as salt 0): val-CIDEr delta per run, mean ± spread (is the single-seed
+    +0.016 of r4 real?).
+  scst_seed_sweep_lr5e-6 — the suite-1 arms at the DEFAULT lr/20 recipe
+    (historical; established mildly negative before the r4 recipe was
+    recovered by bit-fingerprint — see scripts/r5_suite2.sh header).
+  scst_undertrained  — SCST off the step-1000 XE checkpoint (val CIDEr
+    ~0.32): the regime with actual RL headroom, 3 salts.
+  scst_horizon       — 5000-step SCST run: full val curve, where it
     saturates, and whether the r4 step-3000 dip recurs.
   mixed_reward       — the cider_bleu (0.7·CIDEr-D + 0.3·BLEU4) training run
     next to the pure-CIDEr arm.
   beam_vs_greedy     — decode-method A/B on the trained checkpoints at
     production dims (the headline decode tied to a quality number).
+  int8_vocab_projection — in-situ full-decode A/B of int8 W_out variants
+    (caps/s + token-mismatch rate vs the bf16 production path).
 
 Usage: python scripts/summarize_r5.py  [--dir artifacts]
 """
@@ -24,6 +36,9 @@ import json
 import os
 import statistics
 import sys
+
+XE_END_STEP = 2500
+UT_XE_STEP = 1000
 
 
 def _rows(path):
@@ -37,13 +52,13 @@ def _evals(rows):
             for r in rows if "eval_CIDEr" in r}
 
 
-def _staged_stats(path, xe_end_step=2500):
+def _stats(path):
     rows = _rows(path)
     ev = _evals(rows)
     final_step = max(ev) if ev else None
     out = {
         "evals": ev,
-        "xe_end": ev.get(xe_end_step),
+        "xe_end": ev.get(XE_END_STEP),
         "final": ev.get(final_step) if final_step else None,
         "final_step": final_step,
     }
@@ -64,62 +79,126 @@ def _mean_std(vals):
             "n": len(vals), "values": [round(v, 4) for v in vals]}
 
 
+def _load(d, name):
+    p = os.path.join(d, name)
+    return _stats(p) if os.path.exists(p) else None
+
+
 def summarize(d):
     out = {}
 
-    # ---- multitask ablation ----------------------------------------------
-    arms = {}
+    # per-arm XE logs and recovered-recipe SCST reruns
+    xe_arms, scst_arms = {}, {}
     for w in ("0.2", "0.0"):
         for s in (0, 1, 2):
-            p = os.path.join(d, f"r5_ab_w{w}_s{s}.jsonl")
-            if os.path.exists(p):
-                arms[(w, s)] = _staged_stats(p)
-    if arms:
-        ab = {"arms": {f"attr{w}_seed{s}": v for (w, s), v in arms.items()}}
-        for phase in ("xe_end", "final"):
+            a = _load(d, f"r5_ab_w{w}_s{s}.jsonl")
+            if a:
+                xe_arms[(w, s)] = a
+            b = _load(d, f"r5_b_w{w}_s{s}.jsonl")
+            if b:
+                scst_arms[(w, s)] = b
+
+    # ---- multitask ablation ----------------------------------------------
+    if xe_arms:
+        ab = {"recipe": "xe 2500 steps; scst +1500 @ lr 5e-5 (r4 recipe, "
+                        "bit-fingerprint-recovered) resumed from the frozen "
+                        "XE-2500 snapshot",
+              "arms": {}}
+        for (w, s), a in sorted(xe_arms.items()):
+            arm = {"xe_end": a.get("xe_end") or a.get("final"),
+                   "xe_final_loss": a.get("xe_final_loss")}
+            b = scst_arms.get((w, s))
+            if b:
+                arm["scst_final"] = b.get("final")
+                arm["scst_evals"] = b.get("evals")
+            ab["arms"][f"attr{w}_seed{s}"] = arm
+        for phase, src in (("xe_end", xe_arms), ("scst_final", scst_arms)):
             deltas = []
             for s in (0, 1, 2):
-                a, b = arms.get(("0.2", s)), arms.get(("0.0", s))
-                if a and b and a.get(phase) and b.get(phase):
-                    deltas.append(a[phase]["CIDEr"] - b[phase]["CIDEr"])
+                a, b = src.get(("0.2", s)), src.get(("0.0", s))
+                key = "xe_end" if phase == "xe_end" else "final"
+                if a and b and a.get(key) and b.get(key):
+                    deltas.append(a[key]["CIDEr"] - b[key]["CIDEr"])
             if deltas:
                 ab[f"cider_delta_attr_on_minus_off_{phase}"] = \
                     _mean_std(deltas)
         for w in ("0.2", "0.0"):
-            finals = [arms[(w, s)]["final"]["CIDEr"] for s in (0, 1, 2)
-                      if (w, s) in arms and arms[(w, s)].get("final")]
-            if finals:
-                ab[f"final_cider_attr{w}"] = _mean_std(finals)
+            xes = [a["xe_end"]["CIDEr"] for (ww, _), a in xe_arms.items()
+                   if ww == w and a.get("xe_end")]
+            if xes:
+                ab[f"xe_end_cider_attr{w}"] = _mean_std(xes)
+            fins = [b["final"]["CIDEr"] for (ww, _), b in scst_arms.items()
+                    if ww == w and b.get("final")]
+            if fins:
+                ab[f"scst_final_cider_attr{w}"] = _mean_std(fins)
         out["multitask_ablation"] = ab
 
-    # ---- SCST seed sweep --------------------------------------------------
+    xe_base = xe_arms.get(("0.2", 0))
+    xe_end = (xe_base["xe_end"]["CIDEr"]
+              if xe_base and xe_base.get("xe_end") else None)
+
+    # ---- SCST seed sweep at the recovered recipe ---------------------------
     sweep = {}
-    base = arms.get(("0.2", 0))
-    xe_end = base["xe_end"]["CIDEr"] if base and base.get("xe_end") else None
-    if base and base.get("final"):
-        sweep["salt0 (ablation seed-0 run)"] = base["final"]["CIDEr"]
-    for p in sorted(glob.glob(os.path.join(d, "r5_var_salt*.jsonl"))):
-        name = os.path.basename(p)[len("r5_var_"):-len(".jsonl")]
-        st = _staged_stats(p)
+    b0 = scst_arms.get(("0.2", 0))
+    if b0 and b0.get("final"):
+        sweep["salt0 (ablation seed-0 rerun)"] = b0["final"]["CIDEr"]
+    for p in sorted(glob.glob(os.path.join(d, "r5_b_salt*.jsonl"))):
+        name = os.path.basename(p)[len("r5_b_"):-len(".jsonl")]
+        st = _stats(p)
         if st.get("final"):
             sweep[name] = st["final"]["CIDEr"]
     if sweep and xe_end is not None:
         finals = list(sweep.values())
         out["scst_seed_sweep"] = {
+            "recipe": "scst_learning_rate=5e-5 (recovered r4 recipe)",
             "xe_checkpoint_val_cider": xe_end,
             "final_val_cider_per_salt": sweep,
             "final": _mean_std(finals),
             "delta_vs_xe": _mean_std([v - xe_end for v in finals]),
         }
 
-    # ---- horizon ----------------------------------------------------------
-    p = os.path.join(d, "r5_var_horizon5k.jsonl")
-    if os.path.exists(p):
-        st = _staged_stats(p)
+    # ---- historical: suite-1 arms at the default lr/20 ---------------------
+    legacy = {}
+    for s in (0, 1, 2):
+        a = xe_arms.get(("0.2", s))
+        if a and a.get("final") and a.get("xe_end") \
+                and a["final_step"] and a["final_step"] > XE_END_STEP:
+            legacy[f"seed{s}"] = round(
+                a["final"]["CIDEr"] - a["xe_end"]["CIDEr"], 4)
+    if legacy:
+        out["scst_seed_sweep_lr5e-6"] = {
+            "note": "suite-1 staged runs at the DEFAULT scst lr (xe lr/20 = "
+                    "5e-6) — pre-recovery; mildly negative on a saturated "
+                    "XE checkpoint",
+            "delta_vs_xe_per_seed": legacy,
+            "delta_vs_xe": _mean_std(legacy.values()),
+        }
+
+    # ---- under-trained regime ----------------------------------------------
+    ut = {}
+    ut_base = None
+    if xe_base and xe_base["evals"].get(UT_XE_STEP):
+        ut_base = xe_base["evals"][UT_XE_STEP]["CIDEr"]
+    for p in sorted(glob.glob(os.path.join(d, "r5_b_ut*.jsonl"))):
+        name = os.path.basename(p)[len("r5_b_"):-len(".jsonl")]
+        st = _stats(p)
+        if st.get("final"):
+            ut[name] = st["final"]["CIDEr"]
+    if ut:
+        sec = {"xe_step1000_val_cider": ut_base,
+               "final_val_cider_per_salt": ut,
+               "final": _mean_std(ut.values())}
+        if ut_base is not None:
+            sec["delta_vs_xe"] = _mean_std([v - ut_base for v in ut.values()])
+        out["scst_undertrained"] = sec
+
+    # ---- horizon ------------------------------------------------------------
+    st = _load(d, "r5_b_horizon5k.jsonl")
+    if st:
         curve = st["evals"]
         best_step = max(curve, key=lambda k: curve[k]["CIDEr"])
         out["scst_horizon"] = {
-            "steps": 5000, "curve": curve,
+            "scst_steps": 5000, "curve": curve,
             "best": {"step": best_step, **curve[best_step]},
             "final": st.get("final"),
             "delta_vs_xe": (round(st["final"]["CIDEr"] - xe_end, 4)
@@ -127,12 +206,12 @@ def summarize(d):
                             else None),
         }
 
-    # ---- mixed reward -----------------------------------------------------
-    p = os.path.join(d, "r5_var_mixed.jsonl")
-    if os.path.exists(p):
-        st = _staged_stats(p)
+    # ---- mixed reward --------------------------------------------------------
+    st = _load(d, "r5_b_mixed.jsonl")
+    if st:
         out["mixed_reward"] = {
-            "reward": "0.7*CIDEr-D + 0.3*BLEU4",
+            "reward": "0.7*CIDEr-D + 0.3*BLEU4 (scst_reward=cider_bleu, "
+                      "bleu_mix=0.3) @ lr 5e-5",
             "evals": st["evals"], "final": st.get("final"),
             "reward_first": st.get("reward_first"),
             "reward_last": st.get("reward_last"),
@@ -141,7 +220,7 @@ def summarize(d):
                             else None),
         }
 
-    # ---- beam vs greedy ---------------------------------------------------
+    # ---- beam vs greedy -------------------------------------------------------
     bv = {}
     for p in sorted(glob.glob(os.path.join(d, "r5_valeval_*.json"))):
         tag = os.path.basename(p)[len("r5_valeval_"):-len(".json")]
@@ -152,6 +231,18 @@ def summarize(d):
             pass
     if bv:
         out["beam_vs_greedy"] = bv
+
+    # ---- int8 vocab projection --------------------------------------------------
+    q = {}
+    for p in sorted(glob.glob(os.path.join(d, "r5_int8_*.json"))):
+        tag = os.path.basename(p)[len("r5_int8_"):-len(".json")]
+        try:
+            with open(p) as f:
+                q[tag] = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            pass
+    if q:
+        out["int8_vocab_projection"] = q
 
     return out
 
