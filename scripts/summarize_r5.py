@@ -66,6 +66,10 @@ def _stats(path):
     if scst:
         out["reward_first"] = round(scst[0]["reward_sample"], 4)
         out["reward_last"] = round(scst[-1]["reward_sample"], 4)
+    attr = [r["attr_loss"] for r in rows if "attr_loss" in r]
+    if attr:
+        out["attr_loss_first"] = round(attr[0], 4)
+        out["attr_loss_last"] = round(attr[-1], 4)
     xe = [r for r in rows if "xe_loss" in r and "reward_sample" not in r]
     if xe:
         out["xe_final_loss"] = xe[-1]["loss"]
@@ -122,6 +126,31 @@ def summarize(d):
             if deltas:
                 ab[f"cider_delta_attr_on_minus_off_{phase}"] = \
                     _mean_std(deltas)
+        # paired ON-OFF delta at EVERY eval step of the XE phase — shows the
+        # attr-head effect across the whole training trajectory, not just at
+        # the (possibly saturated) endpoint
+        by_step = {}
+        for s in (0, 1, 2):
+            a, b = xe_arms.get(("0.2", s)), xe_arms.get(("0.0", s))
+            if not (a and b):
+                continue
+            for step in sorted(set(a["evals"]) & set(b["evals"])):
+                if step <= XE_END_STEP:
+                    by_step.setdefault(step, []).append(
+                        a["evals"][step]["CIDEr"] - b["evals"][step]["CIDEr"])
+        if by_step:
+            ab["cider_delta_attr_on_minus_off_by_step"] = {
+                str(k): _mean_std(v) for k, v in sorted(by_step.items())}
+        # the aux head itself trains (BCE trajectory) even where the caption
+        # metric is unchanged — separates "head broken" from "signal redundant"
+        heads = {f"attr0.2_seed{s}":
+                 {"attr_loss_first": a["attr_loss_first"],
+                  "attr_loss_last": a["attr_loss_last"]}
+                 for s in (0, 1, 2)
+                 for a in [xe_arms.get(("0.2", s))]
+                 if a and "attr_loss_first" in a}
+        if heads:
+            ab["attr_head_bce_trajectory"] = heads
         for w in ("0.2", "0.0"):
             xes = [a["xe_end"]["CIDEr"] for (ww, _), a in xe_arms.items()
                    if ww == w and a.get("xe_end")]
@@ -194,7 +223,7 @@ def summarize(d):
 
     # ---- horizon ------------------------------------------------------------
     st = _load(d, "r5_b_horizon5k.jsonl")
-    if st:
+    if st and st["evals"]:
         curve = st["evals"]
         best_step = max(curve, key=lambda k: curve[k]["CIDEr"])
         out["scst_horizon"] = {
@@ -208,7 +237,7 @@ def summarize(d):
 
     # ---- mixed reward --------------------------------------------------------
     st = _load(d, "r5_b_mixed.jsonl")
-    if st:
+    if st and st["evals"]:
         out["mixed_reward"] = {
             "reward": "0.7*CIDEr-D + 0.3*BLEU4 (scst_reward=cider_bleu, "
                       "bleu_mix=0.3) @ lr 5e-5",
