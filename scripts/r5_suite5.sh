@@ -1,0 +1,43 @@
+#!/bin/bash
+# Round-5 suite 5 — the multitask ablation in the SMALL-DATA regime.
+#
+# Suite 1-3 established the attr-head effect is null at 5k train videos: the
+# mined-attribute signal there is redundant with XE (the head's BCE trains
+# 0.52→0.02 while paired CIDEr deltas sit inside noise at every eval step).
+# VERDICT r4 #1 offered two closures: record the null honestly AND/OR build a
+# corpus where the aux signal is informative. data/scale_small is the
+# latter done cheaply: 500 of the 5,000 train videos keep their captions
+# (10k pairs instead of 100k), everything else — shapes, vocab 16,021, every
+# jit constant — is identical, so all graphs are already compiled. In this
+# regime the multi-hot attr target still aggregates content words across all
+# 20 refs/video while each XE pair sees one 8-word window: if the aux head
+# ever helps on this corpus family, it is here.
+#
+# Arms: attribute_loss_weight 0.2 vs 0.0 × 3 matched seeds, XE 2500 steps
+# (banked, B=64), then SCST +1500 at the recovered recipe (lr 5e-5) off each
+# arm's XE-2500 snapshot — the same protocol as the at-scale ablation so the
+# two tables read side by side.
+set -u
+cd /root/repo
+PY="python -m vidcap_tpu"
+COM="--preset msrvtt_attn_beam5 --batch-size 64 --feature-bank --eval-every 500 --log-every 100 --set data.data_dir=data/scale_small --set train.scst_xe_mix=0.1 --set train.scst_learning_rate=5e-5"
+STATUS=artifacts/r5_suite5_status.log
+note () { echo "$(date +%H:%M:%S) $*" >> "$STATUS"; }
+
+python scripts/make_smalldata_corpus.py --keep 500
+
+note "=== r5 suite5 (small-data ablation) begin ==="
+for w in 0.2 0.0; do
+  for s in 0 1 2; do
+    tag="sd_w${w}_s${s}"
+    rm -rf "checkpoints/r5_$tag"
+    note "xe+scst $tag start"
+    $PY train $COM --stages xe,scst --steps 2500,1500 \
+        --set train.attribute_loss_weight=$w --set train.seed=$s \
+        --checkpoint-dir "checkpoints/r5_$tag" \
+        --log-file "artifacts/r5_$tag.jsonl" \
+        >> artifacts/r5_suite5_stderr.log 2>&1
+    note "xe+scst $tag done rc=$?"
+  done
+done
+note "=== r5 suite5 end ==="

@@ -224,16 +224,64 @@ def summarize(d):
     # ---- horizon ------------------------------------------------------------
     st = _load(d, "r5_b_horizon5k.jsonl")
     if st and st["evals"]:
-        curve = st["evals"]
+        curve = dict(st["evals"])
+        ext = _load(d, "r5_b_horizon12k.jsonl")  # suite6 B: salt-0 resumed on
+        if ext and ext["evals"]:
+            curve.update(ext["evals"])
         best_step = max(curve, key=lambda k: curve[k]["CIDEr"])
-        out["scst_horizon"] = {
-            "scst_steps": 5000, "curve": curve,
+        final_step = max(curve)
+        sec = {
+            "scst_steps": final_step - XE_END_STEP, "curve": curve,
             "best": {"step": best_step, **curve[best_step]},
-            "final": st.get("final"),
-            "delta_vs_xe": (round(st["final"]["CIDEr"] - xe_end, 4)
-                            if st.get("final") and xe_end is not None
-                            else None),
+            "final": curve[final_step],
+            "delta_vs_xe": (round(curve[final_step]["CIDEr"] - xe_end, 4)
+                            if xe_end is not None else None),
         }
+        # suite6 A: the full horizon repeated under salts 1..2 — seed spread
+        # on the headline lift (finals at the salt-0 run's 7500-step point)
+        hz = {"salt0": curve.get(7500, curve[final_step])["CIDEr"]}
+        for p in sorted(glob.glob(os.path.join(d, "r5_b_hz_salt*.jsonl"))):
+            name = os.path.basename(p)[len("r5_b_hz_"):-len(".jsonl")]
+            s = _stats(p)
+            if s.get("final"):
+                hz[name] = s["final"]["CIDEr"]
+        if len(hz) > 1 and xe_end is not None:
+            sec["salt_spread_at_7500"] = {
+                "final_per_salt": hz,
+                "delta_vs_xe": _mean_std([v - xe_end for v in hz.values()]),
+            }
+        out["scst_horizon"] = sec
+
+    # ---- small-data ablation (suite5: data/scale_small, 500 train videos) ---
+    sd_arms = {}
+    for w in ("0.2", "0.0"):
+        for s in (0, 1, 2):
+            a = _load(d, f"r5_sd_w{w}_s{s}.jsonl")
+            if a and a["evals"]:
+                sd_arms[(w, s)] = a
+    if sd_arms:
+        sd = {"regime": "500 of 5000 train videos captioned (10k pairs; "
+                        "shapes/vocab identical to data/scale), staged "
+                        "xe 2500 -> scst +1500 @ lr 5e-5",
+              "arms": {f"attr{w}_seed{s}":
+                       {"xe_end": a.get("xe_end"), "final": a.get("final"),
+                        "evals": a["evals"]}
+                       for (w, s), a in sorted(sd_arms.items())}}
+        for phase, key in (("xe_end", "xe_end"), ("scst_final", "final")):
+            deltas = []
+            for s in (0, 1, 2):
+                a, b = sd_arms.get(("0.2", s)), sd_arms.get(("0.0", s))
+                if a and b and a.get(key) and b.get(key):
+                    deltas.append(a[key]["CIDEr"] - b[key]["CIDEr"])
+            if deltas:
+                sd[f"cider_delta_attr_on_minus_off_{phase}"] = \
+                    _mean_std(deltas)
+        for w in ("0.2", "0.0"):
+            fins = [a["final"]["CIDEr"] for (ww, _), a in sd_arms.items()
+                    if ww == w and a.get("final")]
+            if fins:
+                sd[f"final_cider_attr{w}"] = _mean_std(fins)
+        out["multitask_ablation_smalldata"] = sd
 
     # ---- mixed reward --------------------------------------------------------
     st = _load(d, "r5_b_mixed.jsonl")
