@@ -114,3 +114,33 @@ def test_reward_jits_and_batches():
     toks, mask = _pad_candidates([[5, 6, 7]] * 8, L=10)
     out = f(jnp.arange(8, dtype=jnp.int32), toks, mask)
     assert out.shape == (8,) and np.isfinite(np.asarray(out)).all()
+
+
+def test_refless_videos_do_not_perturb_table(tmp_path):
+    """Videos with ZERO references (MSR-VTT test-server rows; the r5
+    small-data corpus trick of emptying caption lists while keeping feature
+    rows aligned) must build finite tables and leave the rewards of
+    captioned videos bit-identical to a table built without them."""
+    rng = np.random.default_rng(7)
+    refs = _random_corpus(rng, n_videos=6)
+    padded = refs + [[], [], []]          # ref-less rows appended after
+
+    t_base = build_reward_tables(refs)
+    t_pad = build_reward_tables(padded)
+    for t in (t_base, t_pad):
+        for leaf in (t.ref_tf, t.ref_idf, t.ref_norm, t.idf_val):
+            assert bool(jnp.isfinite(leaf).all())
+
+    cands, vids = [], []
+    for v in range(len(refs)):
+        cands.append(list(refs[v][0]))
+        cands.append(rng.integers(4, 50, size=6).tolist())
+        vids += [v, v]
+    toks, mask = _pad_candidates(cands, L=16)
+    vidx = jnp.asarray(vids, jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(cider_reward(t_base, vidx, toks, mask)),
+        np.asarray(cider_reward(t_pad, vidx, toks, mask)))
+    np.testing.assert_array_equal(
+        np.asarray(bleu4_reward(t_base, vidx, toks, mask)),
+        np.asarray(bleu4_reward(t_pad, vidx, toks, mask)))

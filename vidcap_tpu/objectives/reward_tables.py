@@ -45,7 +45,7 @@ class RewardTables:
     idf_key_lo: jax.Array    # u32[S] open-addressing table (0 = empty since
     idf_key_hi: jax.Array    # u32[S]  real keys are never (0,0) in practice)
     idf_val: jax.Array       # f32[S]
-    log_n: float             # log(num videos) — default idf weight on miss
+    log_n: float             # log(num ref-bearing videos) — idf weight on miss
     num_probes: int          # linear-probe length used at build time
 
 
@@ -87,7 +87,15 @@ def build_reward_tables(refs_per_video: List[List[Sequence[int]]],
     Internally keyed on the 64-bit n-gram hashes throughout (exactly what the
     device sees), so the native C++ counter plugs in directly."""
     V = len(refs_per_video)
-    log_n = math.log(max(V, 1))
+    # IDF document count = videos that actually carry references. Ref-less
+    # rows (MSR-VTT test-server entries, partially-captioned corpora) are
+    # feature-alignment placeholders, not corpus documents — pycocoevalcap's
+    # ref_len = log(len(crefs)) likewise only ever counts entries with refs.
+    # The additive log-N term does NOT cancel in the tf-idf cosine, so
+    # counting placeholders would shift every reward (tests/test_reward.py::
+    # test_refless_videos_do_not_perturb_table).
+    n_docs = sum(1 for r in refs_per_video if r)
+    log_n = math.log(max(n_docs, 1))
 
     # per-ref hashed entries, computed once
     per_video_entries: List[List[List[tuple]]] = [
