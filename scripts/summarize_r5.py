@@ -225,9 +225,12 @@ def summarize(d):
     st = _load(d, "r5_b_horizon5k.jsonl")
     if st and st["evals"]:
         curve = dict(st["evals"])
-        ext = _load(d, "r5_b_horizon12k.jsonl")  # suite6 B: salt-0 resumed on
-        if ext and ext["evals"]:
-            curve.update(ext["evals"])
+        # suite6 B / suite7 A: salt-0 resumed to 12.5k then 20k
+        for extname in ("r5_b_horizon12k.jsonl", "r5_b_horizon20k.jsonl",
+                        "r5_b_horizon30k.jsonl"):
+            ext = _load(d, extname)
+            if ext and ext["evals"]:
+                curve.update(ext["evals"])
         best_step = max(curve, key=lambda k: curve[k]["CIDEr"])
         final_step = max(curve)
         sec = {
