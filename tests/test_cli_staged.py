@@ -118,6 +118,13 @@ def test_cli_serve_sharded(tmp_path):
         p = tmp_path / f"f{i}.npy"
         np.save(p, rng.normal(size=(T, D)).astype(np.float32))
         lines.append(str(p))
+    # serve refuses to run off an untrained checkpoint dir (inference.py
+    # empty-dir guard, review r4) — put a 2-step checkpoint in place first
+    r = subprocess.run(
+        [sys.executable, "-m", "vidcap_tpu", "train",
+         "--preset", "synthetic_tiny", "--steps", "2", "--batch-size", "8"],
+        cwd=tmp_path, env=_env(), capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-800:]
     r = subprocess.run(
         [sys.executable, "-m", "vidcap_tpu", "serve",
          "--preset", "synthetic_tiny", "--batch", "8", "--sharded",

@@ -34,6 +34,7 @@ class Captioner:
         self.mesh = mesh              # jax.sharding.Mesh → multi-chip decode
         self._sample_calls = 0        # fold_in counter: distinct, reproducible
         self._compiled = {}
+        self._mesh_params = None      # params replicated onto mesh, lazy
 
     # ------------------------------------------------------------ construction
 
@@ -89,6 +90,19 @@ class Captioner:
         if key not in self._compiled:
             self._compiled[key] = builder()
         return self._compiled[key]
+
+    def _params_on_mesh(self):
+        """Params replicated onto ``self.mesh`` (cached). Checkpoint-restored
+        params come back COMMITTED to one device (orbax restores concrete
+        arrays), and a committed single-device tree fed to the GSPMD decode
+        raises 'incompatible devices' — fresh init_params only worked by
+        accident of being uncommitted. One explicit replicated device_put
+        covers both."""
+        if self._mesh_params is None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._mesh_params = jax.device_put(
+                self.params, NamedSharding(self.mesh, PartitionSpec()))
+        return self._mesh_params
 
     def _next_sample_rng(self) -> jax.Array:
         """Sampling key: reproducible when self.seed is set (fold_in over a
@@ -221,7 +235,8 @@ class Captioner:
                         beam_width=beam_width)
             fn = self._get(("sharded", method, B, beam_width), build_sharded)
             with self.mesh:
-                return np.asarray(fn(self.params, jnp.asarray(feats), mask))
+                return np.asarray(fn(self._params_on_mesh(),
+                                     jnp.asarray(feats), mask))
 
         use_pallas = (self.cfg.model.use_pallas_decoder
                       and self.cfg.model.num_lstm_layers == 1
