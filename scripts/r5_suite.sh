@@ -45,7 +45,7 @@ run_scst () {  # $1=attr_w $2=seed  (continues in the same dir)
 }
 
 # off the frozen seed-0 attr-0.2 XE checkpoint (snapshot taken below)
-run_scst_variant () {  # $1=name $2=extra --set flags... $3=steps
+run_scst_variant () {  # $1=name $2=steps $3...=extra --set flags
   local name=$1 steps=$2; shift 2
   note "scst-variant $name start"
   rm -rf "checkpoints/r5_var_$name"

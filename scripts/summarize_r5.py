@@ -47,8 +47,11 @@ def _rows(path):
 
 
 def _evals(rows):
+    # None, not float('nan'): json.dump would emit a bare NaN token that
+    # strict JSON parsers (jq, JSON.parse) reject
     return {r["step"]: {"CIDEr": round(r["eval_CIDEr"], 4),
-                        "Bleu_4": round(r.get("eval_Bleu_4", float("nan")), 4)}
+                        "Bleu_4": (round(r["eval_Bleu_4"], 4)
+                                   if "eval_Bleu_4" in r else None)}
             for r in rows if "eval_CIDEr" in r}
 
 

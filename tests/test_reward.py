@@ -116,6 +116,30 @@ def test_reward_jits_and_batches():
     assert out.shape == (8,) and np.isfinite(np.asarray(out)).all()
 
 
+def test_device_cider_matches_host_oracle_refless():
+    """Device/host bit-parity must survive ref-less rows: both stacks count
+    only ref-bearing videos as IDF documents (review r5 — the table-side fix
+    alone would silently break the CLAUDE.md parity invariant on
+    partially-captioned corpora like data/scale_small)."""
+    rng = np.random.default_rng(11)
+    refs = _random_corpus(rng, n_videos=6) + [[], [], []]
+    tables = build_reward_tables(refs)
+    gts = {str(v): [list(map(int, r)) for r in rs]
+           for v, rs in enumerate(refs)}
+    oracle = CiderScorer(gts)
+
+    cands, vids = [], []
+    for v in range(6):
+        cands.append(list(refs[v][0]))
+        cands.append(rng.integers(4, 50, size=6).tolist())
+        vids += [v, v]
+    toks, mask = _pad_candidates(cands, L=16)
+    dev = np.asarray(cider_reward(tables, jnp.asarray(vids, jnp.int32),
+                                  toks, mask))
+    host = np.array([oracle.score(str(v), c) for v, c in zip(vids, cands)])
+    np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-5)
+
+
 def test_refless_videos_do_not_perturb_table(tmp_path):
     """Videos with ZERO references (MSR-VTT test-server rows; the r5
     small-data corpus trick of emptying caption lists while keeping feature

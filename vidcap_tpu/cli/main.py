@@ -215,6 +215,10 @@ def _caption_inputs(cfg: Config, args) -> int:
     # share one — those all keep their full path (ADVICE r4: first-seen-wins
     # keying was order-dependent and silently dropped collisions)
     paths = list(dict.fromkeys(paths))
+    if not paths:
+        # scripted pipelines must see a hard error, not an exit-0 empty json
+        # (review r5 — this guard was lost in the r5 --inputs rework)
+        raise SystemExit("--inputs matched no files")
     base_of = {p: os.path.splitext(os.path.basename(p))[0] for p in paths}
     from collections import Counter
     dup = {b for b, n in Counter(base_of.values()).items() if n > 1}
@@ -235,7 +239,11 @@ def _caption_inputs(cfg: Config, args) -> int:
                              f"graph is frozen at export time")
         vocab = ec.vocab
         B = ec.batch_size or max(1, min(len(paths), cfg.train.batch_size))
-        decode = lambda batch, mask: ec.decode_batch(batch, frame_mask=mask)
+        # pass --beam through so the artifact VALIDATES it (the graph is
+        # frozen; a silent beam-width mismatch would mislabel the output —
+        # review r5); None means "use whatever was exported"
+        decode = lambda batch, mask: ec.decode_batch(
+            batch, beam_width=args.beam, frame_mask=mask)
     else:
         # the dataset supplies the vocab the checkpoint was trained with
         # (same contract as `export`); features on disk are never touched here
@@ -366,7 +374,9 @@ def cmd_eval(args) -> int:
         cfg = _preset(args)
         dataset = _load_dataset(cfg, split=getattr(args, "split", "test"))
         refs = dataset.video_captions
-    gts = {v: refs[v] for v in results if v in refs}
+    # empty reference lists count as "no references" too (partially-
+    # captioned corpora keep placeholder rows — review r5)
+    gts = {v: refs[v] for v in results if refs.get(v)}
     skipped = len(results) - len(gts)
     if skipped:
         print(f"[vidcap] {skipped} candidate video(s) have no references — "

@@ -35,6 +35,7 @@ class Captioner:
         self._sample_calls = 0        # fold_in counter: distinct, reproducible
         self._compiled = {}
         self._mesh_params = None      # params replicated onto mesh, lazy
+        self._mesh_params_src = None  # identity key: which params it mirrors
 
     # ------------------------------------------------------------ construction
 
@@ -97,11 +98,14 @@ class Captioner:
         arrays), and a committed single-device tree fed to the GSPMD decode
         raises 'incompatible devices' — fresh init_params only worked by
         accident of being uncommitted. One explicit replicated device_put
-        covers both."""
-        if self._mesh_params is None:
+        covers both. Keyed on the identity of ``self.params`` — the train
+        loop reassigns ``captioner.params`` between evals, and a stale cache
+        would silently decode with the first-ever weights."""
+        if self._mesh_params is None or self._mesh_params_src is not self.params:
             from jax.sharding import NamedSharding, PartitionSpec
             self._mesh_params = jax.device_put(
                 self.params, NamedSharding(self.mesh, PartitionSpec()))
+            self._mesh_params_src = self.params
         return self._mesh_params
 
     def _next_sample_rng(self) -> jax.Array:

@@ -41,7 +41,14 @@ class CiderScorer:
             vid: [ngram_counts(r) for r in refs]
             for vid, refs in refs_per_video.items()
         }
-        self.num_docs = len(refs_per_video)
+        # IDF document count = videos that actually carry references —
+        # ref-less rows (MSR-VTT test-server entries, partially-captioned
+        # corpora) are alignment placeholders, not corpus documents, and the
+        # additive log-N idf term does not cancel in the tf-idf cosine.
+        # Must mirror objectives/reward_tables.py exactly or the device
+        # reward diverges from this oracle on such corpora
+        # (tests/test_reward.py::test_device_cider_matches_host_oracle_refless).
+        self.num_docs = sum(1 for refs in refs_per_video.values() if refs)
         self.log_ref_len = math.log(max(self.num_docs, 1))
         # document frequency over per-video reference n-gram sets
         self.df: Dict[tuple, int] = defaultdict(int)

@@ -14,10 +14,21 @@ from vidcap_tpu.metrics.rouge import rouge_l
 
 def evaluate_captions(gts: Dict[str, List[str]], res: Dict[str, List[str]]
                       ) -> Dict[str, float]:
-    """gts: {vid: [ref strings]}; res: {vid: [candidate string]} (first used)."""
-    gts_tok = {v: [ptb_tokenize(c) for c in caps] for v, caps in gts.items()}
+    """gts: {vid: [ref strings]}; res: {vid: [candidate string]} (first used).
+
+    Videos whose reference list is EMPTY are excluded from scoring — they are
+    alignment placeholders on partially-captioned corpora (MSR-VTT
+    test-server rows, data/scale_small), not documents; an empty list would
+    otherwise crash bleu's min() over reference lengths (review r5). Mirrors
+    the IDF document-count rule in metrics/cider.py / objectives/reward_tables.py.
+    """
+    gts_tok = {v: [ptb_tokenize(c) for c in caps]
+               for v, caps in gts.items() if caps}
     res_tok = {v: ptb_tokenize(caps[0]) for v, caps in res.items()
                if v in gts_tok}
+    if not res_tok:
+        raise ValueError("no scorable (candidate, non-empty-references) "
+                         "pairs — every candidate video lacks references")
     bleu = corpus_bleu(gts_tok, res_tok)
     rouge, _ = rouge_l(gts_tok, res_tok)
     cider, _ = cider_d(gts_tok, res_tok)

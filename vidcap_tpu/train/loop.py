@@ -61,7 +61,7 @@ def run_validation(cfg: Config, captioner, val_dataset: CaptionDataset
         beam_width=cfg.decode.beam_width,
         device_bank=cfg.train.device_feature_bank)
     refs = {v: val_dataset.video_captions[v] for v in results
-            if v in val_dataset.video_captions}
+            if val_dataset.video_captions.get(v)}  # empty list = no refs
     return evaluate_captions(refs, {v: results[v] for v in refs})
 
 
