@@ -303,6 +303,16 @@ def summarize(d):
                             else None),
         }
 
+    # ---- beam-riding periodic eval (suite9) ----------------------------------
+    st = _load(d, "r5_b_beameval.jsonl")
+    if st and st["evals"]:
+        out["beam_riding_eval"] = {
+            "note": "train.eval_method=beam: periodic val eval AND best-ckpt "
+                    "selection scored under the deployment beam-5 decode "
+                    "(same +1500-step SCST arm as the greedy-eval salt-0 run)",
+            "evals": st["evals"], "final": st.get("final"),
+        }
+
     # ---- beam vs greedy -------------------------------------------------------
     bv = {}
     for p in sorted(glob.glob(os.path.join(d, "r5_valeval_*.json"))):
