@@ -70,6 +70,10 @@ class DecodeConfig:
     #   "on"   = true finished pool (im2txt/t2t lineage: all K slots stay live)
     #   "auto" = pool iff length_penalty != 0 — the only regime where the two
     #            can disagree (tests/test_decoding.py adversarial case)
+    int8_vocab_projection: bool = False   # beam only: int8×int8 MXU vocab
+    #   projection (+10.8% caps/s measured in-jit; quality-preserving on a
+    #   trained ckpt — val CIDEr +0.003, artifacts/r5_int8_quality.json — but
+    #   NOT bit-identical, so OFF by default; ops/int8_proj.py)
 
 
 @dataclasses.dataclass(frozen=True)
