@@ -75,6 +75,26 @@ def test_single_step_logits_close_and_padding_masked(setup):
     assert np.all(np.asarray(quant, np.float32)[:, ds.vocab.size:] <= -1e29)
 
 
+def test_sharded_decode_honors_flag(setup):
+    """`serve --sharded` path: make_sharded_decode with the flag on runs on
+    the 8-device mesh and emits only real-vocab tokens."""
+    cfg, ds, model, params = setup
+    cfg8 = cfg.replace(decode=dataclasses.replace(
+        cfg.decode, int8_vocab_projection=True))
+    from vidcap_tpu.parallel.mesh import make_mesh
+    from vidcap_tpu.parallel.sharding import make_sharded_decode
+    mesh = make_mesh(cfg8.mesh, num_data=8, num_model=1)
+    rng = np.random.default_rng(2)
+    feats = jnp.asarray(rng.normal(size=(16, cfg.data.num_frames,
+                                         cfg.data.feature_dim)), jnp.float32)
+    with mesh:
+        fn = make_sharded_decode(model, cfg8, mesh, method="beam",
+                                 beam_width=3)
+        toks = np.asarray(fn(params, feats))
+    assert toks.shape[0] == 16
+    assert toks.min() >= 0 and toks.max() < ds.vocab.size
+
+
 def test_captioner_flag_decodes_valid_tokens(setup):
     """The public surface: Captioner with the flag on beam-decodes tokens
     that are always inside the real vocab (padding never emitted)."""

@@ -198,9 +198,22 @@ def make_sharded_decode(model: VidCapModel, cfg: Config, mesh: Mesh,
                                  with_logp=False).tokens
         state = tile_recurrent(state, beam_width)
 
-        def beam_step(st, tok):
-            return model.apply({"params": params}, st, tok, beam_width, bf16,
-                               method=VidCapModel.step_beam)
+        if cfg.decode.int8_vocab_projection:
+            # same opt-in int8 MXU projection as the single-device beam
+            # (inference.py) — quantization traced from params, hoisted out
+            # of the scan by XLA; see ops/int8_proj.py for the quality data
+            from vidcap_tpu.ops.int8_proj import (int8_logits,
+                                                  quantize_out_proj)
+            W8, wscale, bq = quantize_out_proj(params, model.vocab_size)
+
+            def beam_step(st, tok):
+                st2, h = model.apply({"params": params}, st, tok, beam_width,
+                                     method=VidCapModel.step_beam_hidden)
+                return st2, int8_logits(h, W8, wscale, bq)
+        else:
+            def beam_step(st, tok):
+                return model.apply({"params": params}, st, tok, beam_width,
+                                   bf16, method=VidCapModel.step_beam)
 
         decode_fn = (beam_decode_pool if use_finished_pool(cfg.decode)
                      else beam_decode)
