@@ -35,37 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _find_out_proj(params):
-    """Locate the decoder's out_proj Dense leaves in the param tree."""
-    def walk(tree, path=()):
-        if isinstance(tree, dict):
-            for k, v in tree.items():
-                yield from walk(v, path + (k,))
-        else:
-            yield path, tree
-    kernel = bias = None
-    for path, leaf in walk(params):
-        if "out_proj" in path:
-            if path[-1] == "kernel":
-                kernel = leaf
-            elif path[-1] == "bias":
-                bias = leaf
-    assert kernel is not None, "out_proj kernel not found"
-    return kernel, bias
-
-
-def quantize_wout(kernel, bias, vocab_size):
-    """Symmetric per-output-channel int8: W8[h,v] * wscale[v] ≈ W[h,v].
-    The padded-vocab -1e30 mask folds into the bias (same trick the
-    skip_vocab_mask path uses — decoder.py:217-224)."""
-    W = np.asarray(kernel, np.float32)                       # [H, Vp]
-    wscale = np.maximum(np.abs(W).max(axis=0), 1e-8) / 127.0  # [Vp]
-    W8 = np.clip(np.round(W / wscale), -127, 127).astype(np.int8)
-    Vp = W.shape[1]
-    b = (np.zeros((Vp,), np.float32) if bias is None
-         else np.asarray(bias, np.float32).copy())
-    b[vocab_size:] = -1e30
-    return jnp.asarray(W8), jnp.asarray(wscale[None, :]), jnp.asarray(b)
+from vidcap_tpu.ops.int8_proj import int8_logits, quantize_out_proj
 
 
 def run(variant="w8a8", B=128, iters=8):
@@ -82,7 +52,7 @@ def run(variant="w8a8", B=128, iters=8):
     rng = np.random.default_rng(0)
     K = 5
 
-    W8, wscale, bq = quantize_wout(*_find_out_proj(params), model.vocab_size)
+    W8, wscale, bq = quantize_out_proj(params, model.vocab_size)
 
     def make_step(p):
         def base(state, tok):
@@ -95,16 +65,7 @@ def run(variant="w8a8", B=128, iters=8):
 
         def w8a8(state, tok):
             state2, h = hidden(state, tok)
-            h = h.astype(jnp.float32)
-            hscale = jnp.max(jnp.abs(h), -1, keepdims=True) / 127.0  # [BK,1]
-            h8 = jnp.clip(jnp.round(h / jnp.maximum(hscale, 1e-8)),
-                          -127, 127).astype(jnp.int8)
-            acc = jax.lax.dot_general(                   # int8×int8 → i32 MXU
-                h8, W8, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            logits = (acc.astype(jnp.float32) * (hscale * wscale)
-                      + bq).astype(jnp.bfloat16)
-            return state2, logits
+            return state2, int8_logits(h, W8, wscale, bq)
 
         def w8bf16(state, tok):
             state2, h = hidden(state, tok)
@@ -134,10 +95,13 @@ def run(variant="w8a8", B=128, iters=8):
     dt = time.perf_counter() - t0
     out = {"variant": variant, "caps_per_s": round(B * iters / dt),
            "ms_per_batch": round(dt / iters * 1e3, 1)}
-    np.save(f"/tmp/int8_toks_{variant}.npy", toks)
-    base_path = "/tmp/int8_toks_base.npy"
+    np.save(f"/tmp/int8_toks_{variant}_b{B}.npy", toks)
+    base_path = f"/tmp/int8_toks_base_b{B}.npy"
     if variant != "base" and _os.path.exists(base_path):
         ref = np.load(base_path)
+        assert ref.shape == toks.shape, (
+            f"stale base tokens {ref.shape} vs {toks.shape} — "
+            "re-run the base variant at this B first")
         row_mismatch = (toks != ref).any(-1).mean()
         out["caption_mismatch_vs_base"] = round(float(row_mismatch), 4)
     print(__import__("json").dumps(out), flush=True)

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from scripts.bench_beam_int8 import _find_out_proj, quantize_wout
+from vidcap_tpu.ops.int8_proj import int8_logits, quantize_out_proj
 
 
 def main(ckpt="checkpoints/r5b_horizon", out_path="artifacts/r5_int8_quality.json"):
@@ -48,7 +48,7 @@ def main(ckpt="checkpoints/r5b_horizon", out_path="artifacts/r5_int8_quality.jso
     K = cfg.decode.beam_width
     bf16 = cfg.model.compute_dtype == "bfloat16"
 
-    W8, wscale, bq = quantize_wout(*_find_out_proj(params), val.vocab.size)
+    W8, wscale, bq = quantize_out_proj(params, val.vocab.size)
 
     def base_step(state, tok):
         return model.apply({"params": params}, state, tok, K, bf16,
@@ -57,15 +57,7 @@ def main(ckpt="checkpoints/r5b_horizon", out_path="artifacts/r5_int8_quality.jso
     def w8a8_step(state, tok):
         state2, h = model.apply({"params": params}, state, tok, K,
                                 method=VidCapModel.step_beam_hidden)
-        h = h.astype(jnp.float32)
-        hscale = jnp.max(jnp.abs(h), -1, keepdims=True) / 127.0
-        h8 = jnp.clip(jnp.round(h / jnp.maximum(hscale, 1e-8)),
-                      -127, 127).astype(jnp.int8)
-        acc = jax.lax.dot_general(h8, W8, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.int32)
-        logits = (acc.astype(jnp.float32) * (hscale * wscale)
-                  + bq).astype(jnp.bfloat16)
-        return state2, logits
+        return state2, int8_logits(h, W8, wscale, bq)
 
     decode_fn = (beam_decode_pool if use_finished_pool(cfg.decode)
                  else beam_decode)

@@ -75,7 +75,11 @@ def _stats(path):
         out["attr_loss_last"] = round(attr[-1], 4)
     xe = [r for r in rows if "xe_loss" in r and "reward_sample" not in r]
     if xe:
-        out["xe_final_loss"] = xe[-1]["loss"]
+        # the XE TERM, not the stage total (loss = xe + attr_w*attr + ...):
+        # the ablation compares attr-on vs attr-off arms, and the total would
+        # bias attr-on high by construction (review r5)
+        out["xe_final_loss"] = xe[-1]["xe_loss"]
+        out["stage_final_total_loss"] = xe[-1]["loss"]
     return out
 
 

@@ -194,20 +194,23 @@ def test_eval_refs_no_overlap_errors(tmp_path):
               "--captions", str(cp), "--refs", str(rp)])
 
 
-def test_eval_refs_shape_validation(tmp_path):
-    """ADVICE r4: malformed --refs dies with a clear SystemExit — an empty
-    reference list (would crash in bleu's min()) and a bare-string value
-    (would be iterated per-character into silent garbage scores)."""
+def test_eval_refs_shape_validation(tmp_path, capsys):
+    """ADVICE r4 + review r5: malformed --refs dies with a clear SystemExit
+    (a bare-string value would be iterated per-character into silent garbage
+    scores; a non-dict is a format error), while an EMPTY reference list is
+    valid placeholder data — skipped like the dataset branch skips
+    partially-captioned rows, fatal only when nothing scorable remains."""
     cp = tmp_path / "caps.json"
     cp.write_text(json.dumps({"v": ["a cat"]}))
+    # all-placeholder refs: nothing scorable -> clean SystemExit
     empty = tmp_path / "refs_empty.json"
     empty.write_text(json.dumps({"v": []}))
-    with pytest.raises(SystemExit, match="NON-EMPTY"):
+    with pytest.raises(SystemExit, match="no video ids in common"):
         main(["eval", "--preset", "synthetic_tiny",
               "--captions", str(cp), "--refs", str(empty)])
     bare = tmp_path / "refs_bare.json"
     bare.write_text(json.dumps({"v": "a cat"}))
-    with pytest.raises(SystemExit, match="NON-EMPTY"):
+    with pytest.raises(SystemExit, match="must be a list"):
         main(["eval", "--preset", "synthetic_tiny",
               "--captions", str(cp), "--refs", str(bare)])
     not_dict = tmp_path / "refs_list.json"
@@ -215,3 +218,15 @@ def test_eval_refs_shape_validation(tmp_path):
     with pytest.raises(SystemExit, match="json object"):
         main(["eval", "--preset", "synthetic_tiny",
               "--captions", str(cp), "--refs", str(not_dict)])
+    # a placeholder row NEXT TO a captioned one scores fine (and is counted
+    # in the skipped notice) — the partially-captioned-corpus contract
+    cp2 = tmp_path / "caps2.json"
+    cp2.write_text(json.dumps({"v": ["a cat"], "w": ["a dog"]}))
+    mixed = tmp_path / "refs_mixed.json"
+    mixed.write_text(json.dumps({"v": ["a cat plays"], "w": []}))
+    rc = main(["eval", "--preset", "synthetic_tiny",
+               "--captions", str(cp2), "--refs", str(mixed)])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert "CIDEr" in out.out
+    assert "1 candidate video(s) have no references" in out.err

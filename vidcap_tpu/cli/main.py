@@ -214,7 +214,9 @@ def _caption_inputs(cfg: Config, args) -> int:
     # de-dup repeated paths, then key by basename UNLESS two different files
     # share one — those all keep their full path (ADVICE r4: first-seen-wins
     # keying was order-dependent and silently dropped collisions)
-    paths = list(dict.fromkeys(paths))
+    # normalize before dedup: 'dir/f.npy' from a scan and './dir/f.npy' from
+    # an explicit arg are the same file (review r5)
+    paths = list(dict.fromkeys(os.path.normpath(p) for p in paths))
     if not paths:
         # scripted pipelines must see a hard error, not an exit-0 empty json
         # (review r5 — this guard was lost in the r5 --inputs rework)
@@ -237,6 +239,13 @@ def _caption_inputs(cfg: Config, args) -> int:
             raise SystemExit(f"--method {args.method} conflicts with the "
                              f"artifact (exported {ec.meta['method']}); the "
                              f"graph is frozen at export time")
+        if (args.beam is not None and ec.meta["method"] == "beam"
+                and args.beam != ec.meta["beam_width"]):
+            # eager, CLI-clean version of the ValueError decode_batch would
+            # raise mid-loop (review r5)
+            raise SystemExit(f"--beam {args.beam} conflicts with the "
+                             f"artifact (exported beam_width "
+                             f"{ec.meta['beam_width']})")
         vocab = ec.vocab
         B = ec.batch_size or max(1, min(len(paths), cfg.train.batch_size))
         # pass --beam through so the artifact VALIDATES it (the graph is
@@ -357,18 +366,20 @@ def cmd_eval(args) -> int:
         # into pycocoevalcap the same way, SURVEY §3.4)
         with open(args.refs) as f:
             refs = json.load(f)
-        # shape-check before scoring (ADVICE r4): an empty list crashes deep
-        # in bleu's min() and a bare string iterates per-CHARACTER — both
-        # produce a raw traceback or silent garbage instead of a clean error
+        # shape-check before scoring (ADVICE r4): a bare string iterates
+        # per-CHARACTER, producing silent garbage instead of a clean error.
+        # An EMPTY list is valid placeholder data (partially-captioned
+        # corpora keep ref-less rows for feature alignment) and is skipped
+        # below, consistent with the dataset branch (review r5).
         if not isinstance(refs, dict):
             raise SystemExit(f"--refs must be a json object "
                              f"{{video_id: [reference, ...]}}, got "
                              f"{type(refs).__name__}")
         for vid, r in refs.items():
-            if (not isinstance(r, list) or not r
+            if (not isinstance(r, list)
                     or not all(isinstance(c, str) for c in r)):
                 raise SystemExit(
-                    f"--refs[{vid!r}] must be a NON-EMPTY list of reference "
+                    f"--refs[{vid!r}] must be a list of reference "
                     f"strings, got {r!r:.80}")
     else:
         cfg = _preset(args)
